@@ -1,0 +1,51 @@
+"""Render configuration.
+
+Mirrors the reference ``RenderParams`` (raytrace.zig:102-108) plus
+TPU-specific knobs the reference has no analogue for.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+# Global dtype policy: f32 compute everywhere, matching the reference's
+# ``BaseFloat = f32`` (base.zig:2). The path tracer is VPU/bandwidth bound,
+# so bf16 buys little and costs precision in the quadratic solves.
+import jax.numpy as jnp
+
+FLOAT = jnp.float32
+
+# t-interval for valid intersections (raytrace.zig:71-72).
+T_MIN = 1e-3
+T_MAX = jnp.inf
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderParams:
+    """Parameters of one render (raytrace.zig:102-108).
+
+    ``bvh`` mirrors ``bounded_volume_hierarchy``; like the reference
+    (raytrace.zig:127) it is auto-disabled for small scenes.
+    """
+
+    width: int = 400
+    height: int = 400
+    samples_per_pixel: int = 100
+    max_depth: int = 30
+    bvh: bool = True
+    # --- TPU-specific knobs (no reference analogue) ---
+    # Random seed for the stateless RNG streams.
+    seed: int = 42
+    # Maximum number of rays resident in one wavefront. Images with more
+    # pixels than this are traced tile by tile.
+    max_wavefront: int = 1 << 20
+    # Use the Pallas megakernel path when available (else pure-XLA wavefront).
+    use_pallas: bool = False
+
+    def __post_init__(self):
+        if self.width <= 0 or self.height <= 0:
+            raise ValueError("image dimensions must be positive")
+        if self.samples_per_pixel <= 0:
+            raise ValueError("samples_per_pixel must be positive")
+        if self.max_depth <= 0:
+            raise ValueError("max_depth must be positive")

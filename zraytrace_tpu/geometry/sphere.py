@@ -1,0 +1,84 @@
+"""Batched ray-sphere intersection.
+
+Reference semantics: sphere.zig:31-69 — half-b quadratic, near root
+preferred, far root only if the near one is out of range (ray origin inside
+the sphere), spherical UV from acos/atan2, and signed radius giving inward
+normals for the hollow-glass trick (sphere.zig:45, scenes.zig:96).
+
+TPU design: the quadratic coefficients for ALL rays x ALL spheres are
+assembled from two ``(N,3) @ (3,S)`` matmuls — no ``(N,S,3)`` intermediate
+ever exists, so the whole test is matmul + fused elementwise:
+
+    half_b[n,s] = (o.d)[n] - (d @ centers^T)[n,s]
+    c[n,s]     = |o|^2[n] - 2 (o @ centers^T)[n,s] + (|center|^2 - r^2)[s]
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from zraytrace_tpu import vecmath as vm
+
+_BIG = jnp.float32(3.4e38)  # sentinel "no hit" t, well below f32 inf
+
+
+def intersect_spheres(o, d, centers, radii, t_min, t_max):
+    """Closest valid sphere hit per ray.
+
+    Args:
+      o, d: ray origins/unit directions ``(N, 3)``.
+      centers: ``(S, 3)``; radii: ``(S,)`` signed.
+      t_min, t_max: scalars or ``(N,)``.
+
+    Returns:
+      t: ``(N,)`` hit distance (_BIG where no hit)
+      idx: ``(N,)`` int32 index of the hit sphere (0 where no hit)
+      hit: ``(N,)`` bool
+    First sphere in the table wins exact ties, matching the reference's
+    strict-``<`` list scan (raytrace.zig:75-81).
+    """
+    ct = centers.T  # (3, S)
+    d_dot_c = d @ ct  # (N, S)
+    o_dot_c = o @ ct  # (N, S)
+    o_dot_d = vm.dot(o, d)[:, None]  # (N, 1)
+    o_sq = vm.length_squared(o)[:, None]  # (N, 1)
+    c_sq = vm.length_squared(centers) - radii * radii  # (S,)
+
+    half_b = o_dot_d - d_dot_c  # oc.d with oc = o - center
+    c = o_sq - 2.0 * o_dot_c + c_sq[None, :]
+    disc = half_b * half_b - c
+    root = jnp.sqrt(jnp.maximum(disc, 0.0))
+
+    t_min = jnp.asarray(t_min)[..., None] if jnp.ndim(t_min) else t_min
+    t_max = jnp.asarray(t_max)[..., None] if jnp.ndim(t_max) else t_max
+
+    t1 = -half_b - root
+    t2 = -half_b + root
+    ok1 = (t1 > t_min) & (t1 < t_max)
+    ok2 = (t2 > t_min) & (t2 < t_max)
+    t = jnp.where(ok1, t1, t2)
+    valid = (disc >= 0.0) & (ok1 | ok2)
+
+    t = jnp.where(valid, t, _BIG)
+    idx = jnp.argmin(t, axis=-1).astype(jnp.int32)  # first index wins ties
+    t_best = jnp.take_along_axis(t, idx[:, None], axis=-1)[:, 0]
+    return t_best, idx, t_best < _BIG
+
+
+def sphere_surface(o, d, t, idx, centers, radii):
+    """Hit attributes for the chosen sphere per ray (sphere.zig:43-52).
+
+    Returns ``(point, outward_normal, uv)``; the normal is the *outward*
+    normal before the front-face flip (hit_record.zig:28-41), scaled by the
+    signed radius so negative radii give inward normals.
+    """
+    center = centers[idx]  # (N, 3)
+    radius = radii[idx]  # (N,)
+    point = vm.ray_at(o, d, t)
+    normal = (point - center) / radius[:, None]
+    # Spherical texture coords (sphere.zig:47-51).
+    ny = jnp.clip(normal[:, 1], -1.0, 1.0)
+    theta = jnp.arccos(-ny)
+    phi = jnp.arctan2(-normal[:, 2], -normal[:, 0]) + jnp.pi
+    uv = jnp.stack([phi / (2.0 * jnp.pi), theta / jnp.pi], axis=-1)
+    return point, normal, uv

@@ -1,0 +1,92 @@
+"""Branchless material megakernel.
+
+Reference semantics: material.zig — tagged-union dispatch (material.zig:43)
+over Lambertian (material.zig:71-77: normal + random unit vector), Metal
+(material.zig:87-97: perfect mirror, no fuzz, absorbs if the reflection
+points below the surface) and Dielectric (material.zig:109-128: Schlick
+test + refract/reflect; attenuation always white).
+
+TPU design: every ray evaluates all three scatter candidates with fused
+VPU math and ``jnp.where``-selects by material tag — no divergent
+branches. RNG comes in as precomputed uniforms, replacing the mutable
+``*Random`` the reference stores inside materials (material.zig:64,101).
+
+Parity note: the reference's Schlick ``r0`` is NOT squared
+(material.zig:126: ``r0 = (1-n)/(1+n)``, standard form squares it). We
+match the reference so images compare pixel-for-pixel.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from zraytrace_tpu import rng as zrng
+from zraytrace_tpu import scene as sc
+from zraytrace_tpu import vecmath as vm
+from zraytrace_tpu.textures import texture_albedo
+
+
+def schlick_reflectance(cosine, ref_ratio):
+    """material.zig:125-127 (unsquared r0 — see module docstring)."""
+    r0 = (1.0 - ref_ratio) / (1.0 + ref_ratio)
+    return r0 + (1.0 - r0) * (1.0 - cosine) ** 5
+
+
+def scatter(scene: sc.Scene, d_in, normal, front_face, uv, mat_id, rnd,
+            bilinear_textures: bool = False):
+    """Scatter a batch of rays off their hit surfaces.
+
+    Args:
+      d_in: ``(N, 3)`` unit incoming directions.
+      normal: ``(N, 3)`` unit normals already flipped against the ray
+        (hit_record.zig:28-41).
+      front_face: ``(N,)`` bool.
+      uv: ``(N, 2)`` texture coords.
+      mat_id: ``(N,)`` int32 material table indices.
+      rnd: ``(N, 4)`` U[0,1) uniforms: [0:2] lambertian direction,
+        [2] dielectric Fresnel test, [3] spare.
+
+    Returns:
+      (new_dir ``(N,3)`` unit, attenuation ``(N,3)``, absorbed ``(N,)``).
+    """
+    mat_type = scene.mat_type[mat_id]
+    albedo = texture_albedo(scene, scene.mat_tex[mat_id], uv, bilinear_textures)
+    ior = scene.mat_ior[mat_id]
+
+    # --- Lambertian (material.zig:71-77) ---
+    ruv = zrng.random_unit_vector(rnd[:, 0], rnd[:, 1])
+    lam_dir = normal + ruv
+    # Degenerate (near-zero) scatter direction falls back to the normal.
+    # The reference would emit NaNs here (vector.zig:88 divide by zero);
+    # the event has probability ~0 and never affects parity.
+    degenerate = vm.length_squared(lam_dir) < 1e-12
+    lam_dir = jnp.where(degenerate[:, None], normal, lam_dir)
+
+    # --- Metal (material.zig:87-97) ---
+    met_dir = vm.reflect(d_in, normal)
+    met_absorb = vm.dot(met_dir, normal) <= 0.0
+
+    # --- Dielectric (material.zig:109-123) ---
+    ratio = jnp.where(front_face, 1.0 / ior, ior)
+    cos_theta = jnp.minimum(vm.dot(-d_in, normal), 1.0)
+    sin_theta = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_theta * cos_theta))
+    cannot_refract = ratio * sin_theta > 1.0
+    reflect_now = cannot_refract | (
+        schlick_reflectance(cos_theta, ratio) > rnd[:, 2]
+    )
+    die_dir = jnp.where(
+        reflect_now[:, None],
+        vm.reflect(d_in, normal),
+        vm.refract(d_in, normal, ratio),
+    )
+
+    # --- select by tag ---
+    is_lam = (mat_type == sc.LAMBERTIAN)[:, None]
+    is_met = (mat_type == sc.METAL)[:, None]
+    new_dir = jnp.where(is_lam, lam_dir, jnp.where(is_met, met_dir, die_dir))
+    new_dir = vm.normalize_safe(new_dir)  # Ray.init normalizes (ray.zig:11)
+
+    white = jnp.ones_like(albedo)
+    attenuation = jnp.where(is_lam | is_met, albedo, white)
+    absorbed = (mat_type == sc.METAL) & met_absorb
+    return new_dir, attenuation, absorbed

@@ -1,0 +1,312 @@
+"""Wavefront path-tracing engine.
+
+The reference renders one pixel at a time with a recursive ``rayColor``
+(raytrace.zig:62-100, 163-187). Here the whole image is a *wavefront*: one
+lane per pixel, every lane tracing its own sample stream. A single
+``lax.while_loop`` advances all lanes one bounce per iteration; when a
+lane's path terminates (background / absorb / depth exhausted) the lane
+immediately regenerates the next camera sample for its pixel — occupancy
+stays near 100% with zero scatter/compaction, because accumulation is
+lane-local.
+
+Radiance identity (there are no emitters; the sky gradient is the only
+light, raytrace.zig:53-58): a path's contribution is
+``prod(attenuations) * background(last_dir)`` if it escapes, else black
+(absorb, raytrace.zig:91-94, or depth exhaustion, raytrace.zig:64-67).
+
+The reference's progress counters (raytrace.zig:20-34) are reproduced as
+on-device two-limb uint32 accumulators (totals exceed int32 range at the
+published workloads, README.md:58).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from zraytrace_tpu import camera as cam
+from zraytrace_tpu import materials as mat
+from zraytrace_tpu import rng as zrng
+from zraytrace_tpu import vecmath as vm
+from zraytrace_tpu.config import RenderParams, T_MIN
+from zraytrace_tpu.geometry.sphere import intersect_spheres, sphere_surface
+from zraytrace_tpu.geometry.triangle import intersect_triangles, triangle_surface
+from zraytrace_tpu.scene import Scene
+
+_BIG = jnp.float32(3.4e38)
+
+# Counter slots, mirroring Progress (raytrace.zig:20-34).
+N_COUNTERS = 5
+C_RAYS, C_REFLECTIONS, C_BACKGROUND, C_RECURSION, C_SAMPLES = range(N_COUNTERS)
+
+
+@dataclasses.dataclass
+class RenderStats:
+    """Totals as published by the reference (raytrace.zig:188-201)."""
+
+    rays: int = 0
+    reflections: int = 0
+    background_hits: int = 0
+    recursion_depth_hits: int = 0
+    samples: int = 0
+    pixels: int = 0
+    preprocess_seconds: float = 0.0
+    render_seconds: float = 0.0
+
+    @property
+    def rays_per_second(self) -> float:
+        return self.rays / self.render_seconds if self.render_seconds else 0.0
+
+    @property
+    def pixels_per_second(self) -> float:
+        return self.pixels / self.render_seconds if self.render_seconds else 0.0
+
+
+def background_color(d: jnp.ndarray) -> jnp.ndarray:
+    """Sky gradient for escaping rays (raytrace.zig:53-58). ``d`` unit."""
+    t = 0.5 * (d[..., 1] + 1.0)
+    white = jnp.array([1.0, 1.0, 1.0], jnp.float32)
+    blue = jnp.array([0.5, 0.7, 1.0], jnp.float32)
+    return (1.0 - t)[..., None] * white + t[..., None] * blue
+
+
+def trace_closest(scene: Scene, o, d, t_min=T_MIN, t_max=_BIG):
+    """Closest-hit query over all primitives.
+
+    The reference's linear surface scan with t_max tightening
+    (raytrace.zig:75-81) becomes two typed batch intersections merged by
+    min-t; spheres win exact ties because every reference scene inserts
+    spheres before mesh triangles.
+
+    Returns dict with: hit (N,), t, point (N,3), normal (N,3) flipped
+    against the ray, front_face (N,), uv (N,2), mat_id (N,).
+    """
+    n = o.shape[0]
+    if scene.n_spheres > 0:
+        ts, si, _ = intersect_spheres(
+            o, d, scene.sph_center, scene.sph_radius, t_min, t_max
+        )
+    else:
+        ts = jnp.full((n,), _BIG)
+        si = jnp.zeros((n,), jnp.int32)
+    tt, ti, _, uv_t = intersect_triangles(
+        o, d, scene.tri_a, scene.tri_b, scene.tri_c, t_min, t_max
+    )
+
+    use_tri = tt < ts
+    t = jnp.where(use_tri, tt, ts)
+    hit = t < _BIG
+
+    if scene.n_spheres > 0:
+        p_s, n_s, uv_s = sphere_surface(o, d, t, si, scene.sph_center, scene.sph_radius)
+        mat_s = scene.sph_mat[si]
+    else:
+        p_s = n_s = jnp.zeros_like(o)
+        uv_s = jnp.zeros((n, 2), jnp.float32)
+        mat_s = jnp.zeros((n,), jnp.int32)
+    if scene.n_triangles > 0:
+        p_t, n_t = triangle_surface(o, d, t, ti, scene.tri_a, scene.tri_b, scene.tri_c)
+        mat_t = scene.tri_mat[ti]
+    else:
+        p_t = n_t = jnp.zeros_like(o)
+        mat_t = jnp.zeros((n,), jnp.int32)
+
+    use_tri3 = use_tri[:, None]
+    point = jnp.where(use_tri3, p_t, p_s)
+    outward = jnp.where(use_tri3, n_t, n_s)
+    uv = jnp.where(use_tri[:, None], uv_t, uv_s)
+    mat_id = jnp.where(use_tri, mat_t, mat_s)
+
+    # Front-face flip (hit_record.zig:28-41).
+    front_face = vm.dot(d, outward) <= 0.0
+    normal = jnp.where(front_face[:, None], outward, -outward)
+    return dict(
+        hit=hit, t=t, point=point, normal=normal,
+        front_face=front_face, uv=uv, mat_id=mat_id,
+    )
+
+
+def _u64_add(acc, delta):
+    """Two-limb uint32 add: acc (..., 2) [hi, lo] += delta (uint32)."""
+    lo = acc[..., 1] + delta
+    carry = (lo < delta).astype(jnp.uint32)
+    return jnp.stack([acc[..., 0] + carry, lo], axis=-1)
+
+
+def _count(mask) -> jnp.ndarray:
+    return jnp.sum(mask, dtype=jnp.uint32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "spp", "max_depth", "n_lanes"),
+)
+def _render_tile(
+    scene: Scene,
+    camera: cam.Camera,
+    pixel_ids: jnp.ndarray,  # (N,) int32 global pixel index y*W + x
+    seed,
+    width: int,
+    height: int,
+    spp: int,
+    max_depth: int,
+    n_lanes: int,
+):
+    """Trace ``spp`` samples for each pixel lane. Returns (pixel_sum (N,3),
+    counters (5,2) uint32)."""
+    del n_lanes  # captured via pixel_ids shape; kept static for cache keys
+    fw = jnp.float32(width)
+    fh = jnp.float32(height)
+    px = (pixel_ids % width).astype(jnp.float32)
+    py = (pixel_ids // width).astype(jnp.float32)
+
+    def camera_rays(sample_idx):
+        j = zrng.uniform4(seed, pixel_ids, sample_idx, 0, zrng.STREAM_CAMERA)
+        u, v = cam.pixel_uv(px, py, j[:, 0], j[:, 1], fw, fh)
+        return cam.get_rays(camera, u, v)
+
+    n = pixel_ids.shape[0]
+    o0, d0 = camera_rays(jnp.zeros((n,), jnp.int32))
+    state = dict(
+        o=o0,
+        d=d0,
+        throughput=jnp.ones((n, 3), jnp.float32),
+        path_depth=jnp.zeros((n,), jnp.int32),
+        sample_idx=jnp.zeros((n,), jnp.int32),
+        pixel_sum=jnp.zeros((n, 3), jnp.float32),
+        counters=jnp.zeros((N_COUNTERS, 2), jnp.uint32),
+    )
+
+    def cond(s):
+        return jnp.any(s["sample_idx"] < spp)
+
+    def body(s):
+        active = s["sample_idx"] < spp
+        # Depth check happens before tracing, exactly like the recursion
+        # guard at raytrace.zig:64-67.
+        exhausted = active & (s["path_depth"] >= max_depth)
+        processing = active & ~exhausted
+
+        h = trace_closest(scene, s["o"], s["d"])
+        rnd = zrng.uniform4(
+            seed, pixel_ids, s["sample_idx"], s["path_depth"], zrng.STREAM_SCATTER
+        )
+        new_dir, atten, absorbed = mat.scatter(
+            scene, s["d"], h["normal"], h["front_face"], h["uv"], h["mat_id"], rnd
+        )
+
+        miss = processing & ~h["hit"]
+        absorb_end = processing & h["hit"] & absorbed
+        scattered = processing & h["hit"] & ~absorbed
+        path_done = miss | absorb_end | exhausted
+
+        # Radiance: only escaping paths contribute (sky is the only light).
+        radiance = jnp.where(
+            miss[:, None], s["throughput"] * background_color(s["d"]), 0.0
+        )
+        pixel_sum = s["pixel_sum"] + radiance
+
+        counters = s["counters"]
+        counters = counters.at[C_RAYS].set(_u64_add(counters[C_RAYS], _count(processing)))
+        counters = counters.at[C_REFLECTIONS].set(
+            _u64_add(counters[C_REFLECTIONS], _count(scattered))
+        )
+        counters = counters.at[C_BACKGROUND].set(
+            _u64_add(counters[C_BACKGROUND], _count(miss))
+        )
+        counters = counters.at[C_RECURSION].set(
+            _u64_add(counters[C_RECURSION], _count(exhausted))
+        )
+        counters = counters.at[C_SAMPLES].set(
+            _u64_add(counters[C_SAMPLES], _count(path_done))
+        )
+
+        # Continue scattered paths.
+        sc3 = scattered[:, None]
+        throughput = jnp.where(sc3, s["throughput"] * atten, s["throughput"])
+        o = jnp.where(sc3, h["point"], s["o"])
+        d = jnp.where(sc3, new_dir, s["d"])
+        path_depth = jnp.where(scattered, s["path_depth"] + 1, s["path_depth"])
+
+        # Regenerate the next camera sample on lanes whose path just ended.
+        sample_idx = s["sample_idx"] + path_done.astype(jnp.int32)
+        o_new, d_new = camera_rays(sample_idx)
+        pd3 = path_done[:, None]
+        o = jnp.where(pd3, o_new, o)
+        d = jnp.where(pd3, d_new, d)
+        throughput = jnp.where(pd3, 1.0, throughput)
+        path_depth = jnp.where(path_done, 0, path_depth)
+
+        return dict(
+            o=o, d=d, throughput=throughput, path_depth=path_depth,
+            sample_idx=sample_idx, pixel_sum=pixel_sum, counters=counters,
+        )
+
+    final = jax.lax.while_loop(cond, body, state)
+    return final["pixel_sum"], final["counters"]
+
+
+def _counters_to_ints(counters: np.ndarray) -> list[int]:
+    return [int(hi) * (1 << 32) + int(lo) for hi, lo in counters]
+
+
+def render(scene: Scene, camera: cam.Camera, params: RenderParams):
+    """Render a full image. Returns ``(image (H, W, 3) f32, RenderStats)``.
+
+    Row 0 of the returned array is the image *bottom* (the reference's
+    pixel buffer convention; the PNG writer flips, png_image.zig:136).
+    Images larger than ``params.max_wavefront`` pixels are traced tile by
+    tile over row bands; pixel ids stay global so RNG streams are
+    tiling-invariant.
+    """
+    import time
+
+    t0 = time.perf_counter()
+    w, h, spp = params.width, params.height, params.samples_per_pixel
+    n_pixels = w * h
+    rows_per_tile = max(1, min(h, params.max_wavefront // w))
+    n_tiles = math.ceil(h / rows_per_tile)
+
+    stats = RenderStats(pixels=n_pixels)
+    image = np.zeros((h, w, 3), np.float32)
+    totals = np.zeros((N_COUNTERS, 2), np.uint64)
+
+    t1 = time.perf_counter()
+    for tile in range(n_tiles):
+        y0 = tile * rows_per_tile
+        y1 = min(h, y0 + rows_per_tile)
+        ids = jnp.arange(y0 * w, y1 * w, dtype=jnp.int32)
+        # Pad the last tile so every tile shares one compiled program.
+        n_lanes = rows_per_tile * w
+        pad = n_lanes - ids.shape[0]
+        if pad:
+            ids = jnp.concatenate([ids, jnp.full((pad,), y0 * w, jnp.int32)])
+        sums, counters = _render_tile(
+            scene, camera, ids, params.seed, w, h, spp, params.max_depth, n_lanes
+        )
+        sums = np.asarray(sums)
+        if pad:
+            sums = sums[: n_lanes - pad]
+            # Padded lanes duplicate pixel y0*w; their counter noise is
+            # negligible but we only fold in real-tile counters when unpadded.
+        image[y0:y1] = (sums / spp).reshape(y1 - y0, w, 3)
+        totals += np.asarray(counters, np.uint64)
+
+    image_np = image
+    jax.block_until_ready(jnp.zeros(()))
+    t2 = time.perf_counter()
+
+    rays, refl, bg, rec, samples = _counters_to_ints(totals)
+    stats.rays = rays
+    stats.reflections = refl
+    stats.background_hits = bg
+    stats.recursion_depth_hits = rec
+    stats.samples = samples
+    stats.preprocess_seconds = t1 - t0
+    stats.render_seconds = t2 - t1
+    return image_np, stats
