@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Headline benchmark: rays/sec/chip on the 7-spheres showcase scene.
+
+Reference baseline (BASELINE.md): the Zig tracer renders threeBalls at
+1000x1000, 1000 spp, depth 30 in 617.41 s — 2,144,645,362 rays =>
+~3.47 M rays/s on one CPU thread (README.md:58,61). ``vs_baseline`` is the
+speedup over that ray rate.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Env knobs: ZRAYTRACE_BENCH_SPP / _SIZE / _DEPTH (defaults 1000/1000/30).
+"""
+
+import json
+import os
+import sys
+import time
+
+REF_RAYS_PER_SEC = 2_144_645_362 / 617.41  # ~3.474e6 (README.md:58,61)
+
+
+def main() -> int:
+    size = int(os.environ.get("ZRAYTRACE_BENCH_SIZE", "1000"))
+    spp = int(os.environ.get("ZRAYTRACE_BENCH_SPP", "1000"))
+    depth = int(os.environ.get("ZRAYTRACE_BENCH_DEPTH", "30"))
+
+    from zraytrace_tpu.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    import jax
+    import jax.numpy as jnp
+
+    from zraytrace_tpu.render import _counters_to_ints, _wavefront_jit, C_RAYS
+    from zraytrace_tpu.scenes import three_balls
+
+    built = three_balls()
+    scene, camera = built.scene, built.camera
+    n_lanes = size * size
+    ids = jnp.arange(n_lanes, dtype=jnp.int32)
+
+    def run(n_samples, sample_start=0):
+        sums, counters = _wavefront_jit(
+            scene, camera, ids, 42, size, size, n_samples, depth, sample_start
+        )
+        jax.block_until_ready(sums)
+        return sums, counters
+
+    # Warm-up compiles the single program all spp values share.
+    t0 = time.time()
+    run(1)
+    compile_s = time.time() - t0
+
+    t0 = time.time()
+    sums, counters = run(spp, sample_start=1)
+    elapsed = time.time() - t0
+
+    rays = _counters_to_ints(__import__("numpy").asarray(counters))[C_RAYS]
+    rays_per_sec = rays / elapsed
+
+    print(
+        f"# size={size} spp={spp} depth={depth} rays={rays} "
+        f"elapsed={elapsed:.3f}s compile+warm={compile_s:.1f}s "
+        f"device={jax.devices()[0].device_kind}",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "rays_per_second_7spheres_1000x1000",
+                "value": rays_per_sec,
+                "unit": "rays/s/chip",
+                "vs_baseline": rays_per_sec / REF_RAYS_PER_SEC,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

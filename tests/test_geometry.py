@@ -72,8 +72,9 @@ class TestSphere:
         radii = jnp.array([1.0])
         t, idx, hit = intersect_spheres(o, d, centers, radii, T_MIN, T_MAX)
         _, _, uv = sphere_surface(o, d, t, idx, centers, radii)
-        # hit point (0,-1,0): theta = acos(1) = 0 -> v = 0
-        np.testing.assert_allclose(uv[0, 1], 0.0, atol=1e-4)
+        # hit point (0,-1,0): theta = acos(1) = 0 -> v = 0 (up to the
+        # 1e-7 pole clip that keeps d(arccos) finite for gradients)
+        np.testing.assert_allclose(uv[0, 1], 0.0, atol=2e-3)
 
 
 class TestTriangle:

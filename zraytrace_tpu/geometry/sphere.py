@@ -47,7 +47,10 @@ def intersect_spheres(o, d, centers, radii, t_min, t_max):
     half_b = o_dot_d - d_dot_c  # oc.d with oc = o - center
     c = o_sq - 2.0 * o_dot_c + c_sq[None, :]
     disc = half_b * half_b - c
-    root = jnp.sqrt(jnp.maximum(disc, 0.0))
+    # Double-where sqrt guard: non-hit lanes must not emit d(sqrt(0))=inf
+    # into the backward pass (their zero cotangent times inf is NaN).
+    pos = disc > 0.0
+    root = jnp.where(pos, jnp.sqrt(jnp.where(pos, disc, 1.0)), 0.0)
 
     t_min = jnp.asarray(t_min)[..., None] if jnp.ndim(t_min) else t_min
     t_max = jnp.asarray(t_max)[..., None] if jnp.ndim(t_max) else t_max
@@ -76,8 +79,11 @@ def sphere_surface(o, d, t, idx, centers, radii):
     radius = radii[idx]  # (N,)
     point = vm.ray_at(o, d, t)
     normal = (point - center) / radius[:, None]
-    # Spherical texture coords (sphere.zig:47-51).
-    ny = jnp.clip(normal[:, 1], -1.0, 1.0)
+    # Spherical texture coords (sphere.zig:47-51). The clip stays a hair
+    # inside [-1, 1]: d(arccos) is infinite at the poles and would NaN
+    # reverse-mode gradients; the forward shift is < 1e-3 rad at the exact
+    # pole only (sub-texel).
+    ny = jnp.clip(normal[:, 1], -1.0 + 1e-7, 1.0 - 1e-7)
     theta = jnp.arccos(-ny)
     phi = jnp.arctan2(-normal[:, 2], -normal[:, 0]) + jnp.pi
     uv = jnp.stack([phi / (2.0 * jnp.pi), theta / jnp.pi], axis=-1)

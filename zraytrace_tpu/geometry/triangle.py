@@ -71,7 +71,11 @@ def _intersect_chunk(o, d, oxd, pack: TrianglePack, t_min, t_max):
     Returns per-ray best (t, local_idx, u, v) within the chunk.
     """
     det = -(d @ pack.fn.T)  # (N, C)
-    inv_det = 1.0 / det
+    # Guard 1/det for degenerate/parallel pairs: they can never satisfy
+    # det >= DET_EPS, but an unguarded inf here would NaN-poison reverse-
+    # mode gradients through the (masked-out) t/u/v products.
+    safe = jnp.abs(det) > 1e-12
+    inv_det = 1.0 / jnp.where(safe, det, 1.0)
     u = (oxd @ pack.e2.T - d @ pack.e2xa.T) * inv_det
     v = -(oxd @ pack.e1.T - d @ pack.e1xa.T) * inv_det
     t = (o @ pack.fn.T - pack.a_dot_fn[None, :]) * inv_det
@@ -163,6 +167,9 @@ def triangle_surface(o, d, t, idx, a, b, c):
     normal before the front-face flip (triangle.zig:44-46,67-69)."""
     av, bv, cv = a[idx], b[idx], c[idx]
     fn = vm.cross(bv - av, cv - av)
-    normal = vm.normalize(fn)
+    # normalize_safe: when no triangle was hit, idx defaults to 0 which may
+    # be degenerate; a plain normalize would emit NaNs that poison reverse-
+    # mode gradients through the (masked) select in trace_closest.
+    normal = vm.normalize_safe(fn)
     point = vm.ray_at(o, d, t)
     return point, normal

@@ -1,0 +1,180 @@
+"""Inverse rendering: recover scene parameters from target images.
+
+Entirely new capability (the reference is forward-only). Gradient descent
+on the float leaves of ``Scene`` — sphere centers/radii, triangle
+vertices, IORs, texture colors, atlas texels — and optionally camera
+parameters, through the differentiable renderer (render_diff.py).
+
+The distributed training step shards pixels over the ``data`` mesh axis
+and samples over ``sample``; scene parameters are replicated and their
+gradients all-reduce automatically through the shard_map transpose
+(cotangent of a replicated input is a psum over the mesh).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from zraytrace_tpu import camera as cam
+from zraytrace_tpu.parallel.mesh import DATA_AXIS, SAMPLE_AXIS
+from zraytrace_tpu.render_diff import render_diff, trace_paths
+from zraytrace_tpu.scene import Scene
+
+# Differentiable leaves of Scene (the rest is integer structure).
+DIFF_FIELDS = (
+    "sph_center", "sph_radius", "tri_a", "tri_b", "tri_c",
+    "mat_ior", "tex_color", "atlas",
+)
+
+
+def split_scene(scene: Scene):
+    """Scene -> (params dict, static dict)."""
+    params = {f: getattr(scene, f) for f in DIFF_FIELDS}
+    static = {f: getattr(scene, f) for f in Scene._fields if f not in DIFF_FIELDS}
+    return params, static
+
+
+def merge_scene(params: dict, static: dict) -> Scene:
+    return Scene(**params, **static)
+
+
+def image_loss(img, target):
+    """Mean squared error over pixels/channels."""
+    return jnp.mean((img - target) ** 2)
+
+
+def make_loss_fn(static, camera, target, width, height, spp, max_depth, seed=42):
+    """Single-device differentiable loss over the full image."""
+
+    def loss_fn(params):
+        scene = merge_scene(params, static)
+        img = render_diff(scene, camera, width, height, spp, max_depth, seed=seed)
+        return image_loss(img, target)
+
+    return loss_fn
+
+
+class FitResult(NamedTuple):
+    scene: Scene
+    losses: jnp.ndarray
+
+
+def fit(
+    scene_init: Scene,
+    camera: cam.Camera,
+    target,
+    width: int,
+    height: int,
+    spp: int = 4,
+    max_depth: int = 4,
+    steps: int = 100,
+    learning_rate: float = 1e-2,
+    seed: int = 42,
+    optimize_fields: tuple = DIFF_FIELDS,
+) -> FitResult:
+    """Gradient-descend scene parameters toward a target image.
+
+    ``optimize_fields`` restricts which leaves move (e.g. only
+    ``("sph_center", "sph_radius")`` for geometry recovery).
+    """
+    params, static = split_scene(scene_init)
+    target = jnp.asarray(target, jnp.float32)
+
+    # Freeze non-optimized leaves with a masked optimizer.
+    mask = {f: (f in optimize_fields) for f in params}
+    optimizer = optax.chain(
+        optax.masked(optax.adam(learning_rate), mask),
+        optax.masked(optax.set_to_zero(), {f: not m for f, m in mask.items()}),
+    )
+    opt_state = optimizer.init(params)
+    loss_fn = make_loss_fn(static, camera, target, width, height, spp, max_depth, seed)
+
+    @jax.jit
+    def step(params, opt_state, i):
+        # Vary the seed per step: fresh sample streams decorrelate the MC
+        # gradient noise across steps (stochastic gradient descent).
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    losses = []
+    for i in range(steps):
+        params, opt_state, loss = step(params, opt_state, i)
+        losses.append(loss)
+    return FitResult(merge_scene(params, static), jnp.stack(losses))
+
+
+# ---------------------------------------------------------------------------
+# Distributed training step (the dryrun_multichip / multi-pod path)
+# ---------------------------------------------------------------------------
+
+
+def make_sharded_train_step(
+    mesh: Mesh,
+    static,
+    camera: cam.Camera,
+    width: int,
+    height: int,
+    spp: int,
+    max_depth: int,
+    learning_rate: float = 1e-2,
+    seed: int = 42,
+):
+    """Build (step_fn, optimizer, init_opt_state) where step_fn is a jitted
+    SPMD training step over the ``('data', 'sample')`` mesh:
+
+    - pixel lanes sharded over ``data``
+    - sample indices sharded over ``sample``
+    - per-shard partial images pmean over ``sample``; pixel-mean loss psum
+      over ``data``
+    - scene-parameter gradients all-reduce via the shard_map transpose.
+    """
+    n_pixels = width * height
+    n_data = mesh.shape[DATA_AXIS]
+    n_sample = mesh.shape[SAMPLE_AXIS]
+    assert n_pixels % n_data == 0, (n_pixels, n_data)
+    assert spp % n_sample == 0, (spp, n_sample)
+
+    optimizer = optax.adam(learning_rate)
+
+    def shard_loss(scene, camera, pix_local, samp_local, target_local):
+        p_l = pix_local.shape[0]
+        s_l = samp_local.shape[0]
+        pids = jnp.tile(pix_local, s_l)
+        sids = jnp.repeat(samp_local, p_l)
+        r = trace_paths(scene, camera, pids, sids, seed, width, height, max_depth)
+        img_partial = r.reshape(s_l, p_l, 3).mean(axis=0)
+        img = jax.lax.pmean(img_partial, SAMPLE_AXIS)
+        sq = jnp.sum((img - target_local) ** 2)
+        return jax.lax.psum(sq, DATA_AXIS) / (3.0 * n_pixels)
+
+    loss_sharded = jax.shard_map(
+        shard_loss,
+        mesh=mesh,
+        in_specs=(P(), P(), P(DATA_AXIS), P(SAMPLE_AXIS), P(DATA_AXIS, None)),
+        out_specs=P(),
+        check_vma=False,
+    )
+
+    pixel_ids = jnp.arange(n_pixels, dtype=jnp.int32)
+    sample_ids = jnp.arange(spp, dtype=jnp.int32)
+
+    @jax.jit
+    def step_fn(params, opt_state, target_flat):
+        def loss_fn(params):
+            scene = merge_scene(params, static)
+            return loss_sharded(scene, camera, pixel_ids, sample_ids, target_flat)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step_fn, optimizer

@@ -22,7 +22,6 @@ published workloads, README.md:58).
 from __future__ import annotations
 
 import dataclasses
-import functools
 import math
 
 import jax
@@ -101,16 +100,21 @@ def trace_closest(scene: Scene, o, d, t_min=T_MIN, t_max=_BIG):
     use_tri = tt < ts
     t = jnp.where(use_tri, tt, ts)
     hit = t < _BIG
+    # Miss lanes carry t = _BIG; computing attributes at that distance
+    # overflows to inf and NaN-poisons reverse-mode gradients through the
+    # masked selects below. Attributes are evaluated at a safe t instead
+    # (their values are ignored for miss lanes).
+    t_attr = jnp.where(hit, t, 1.0)
 
     if scene.n_spheres > 0:
-        p_s, n_s, uv_s = sphere_surface(o, d, t, si, scene.sph_center, scene.sph_radius)
+        p_s, n_s, uv_s = sphere_surface(o, d, t_attr, si, scene.sph_center, scene.sph_radius)
         mat_s = scene.sph_mat[si]
     else:
         p_s = n_s = jnp.zeros_like(o)
         uv_s = jnp.zeros((n, 2), jnp.float32)
         mat_s = jnp.zeros((n,), jnp.int32)
     if scene.n_triangles > 0:
-        p_t, n_t = triangle_surface(o, d, t, ti, scene.tri_a, scene.tri_b, scene.tri_c)
+        p_t, n_t = triangle_surface(o, d, t_attr, ti, scene.tri_a, scene.tri_b, scene.tri_c)
         mat_t = scene.tri_mat[ti]
     else:
         p_t = n_t = jnp.zeros_like(o)
@@ -142,26 +146,33 @@ def _count(mask) -> jnp.ndarray:
     return jnp.sum(mask, dtype=jnp.uint32)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("width", "height", "spp", "max_depth", "n_lanes"),
-)
-def _render_tile(
+def wavefront_trace(
     scene: Scene,
     camera: cam.Camera,
     pixel_ids: jnp.ndarray,  # (N,) int32 global pixel index y*W + x
     seed,
-    width: int,
-    height: int,
-    spp: int,
-    max_depth: int,
-    n_lanes: int,
+    width,
+    height,
+    spp,
+    max_depth,
+    sample_start=0,
 ):
-    """Trace ``spp`` samples for each pixel lane. Returns (pixel_sum (N,3),
-    counters (5,2) uint32)."""
-    del n_lanes  # captured via pixel_ids shape; kept static for cache keys
-    fw = jnp.float32(width)
-    fh = jnp.float32(height)
+    """Trace samples ``[sample_start, sample_start + spp)`` for each pixel
+    lane. Returns (pixel_sum (N,3), counters (5,2) uint32).
+
+    Everything except the lane count is a traced scalar, so one compiled
+    program serves every resolution/spp/depth with the same wavefront
+    size. ``sample_start`` offsets the per-lane sample stream — the
+    'sample' mesh axis shards this range and psums the pixel sums (the
+    sample mean at raytrace.zig:182 is associative).
+    """
+    width = jnp.asarray(width, jnp.int32)
+    spp = jnp.asarray(spp, jnp.int32)
+    max_depth = jnp.asarray(max_depth, jnp.int32)
+    sample_start = jnp.asarray(sample_start, jnp.int32)
+    sample_end = sample_start + spp
+    fw = jnp.asarray(width, jnp.float32)
+    fh = jnp.asarray(height, jnp.float32)
     px = (pixel_ids % width).astype(jnp.float32)
     py = (pixel_ids // width).astype(jnp.float32)
 
@@ -171,22 +182,22 @@ def _render_tile(
         return cam.get_rays(camera, u, v)
 
     n = pixel_ids.shape[0]
-    o0, d0 = camera_rays(jnp.zeros((n,), jnp.int32))
+    o0, d0 = camera_rays(jnp.full((n,), sample_start, jnp.int32))
     state = dict(
         o=o0,
         d=d0,
         throughput=jnp.ones((n, 3), jnp.float32),
         path_depth=jnp.zeros((n,), jnp.int32),
-        sample_idx=jnp.zeros((n,), jnp.int32),
+        sample_idx=jnp.full((n,), sample_start, jnp.int32),
         pixel_sum=jnp.zeros((n, 3), jnp.float32),
         counters=jnp.zeros((N_COUNTERS, 2), jnp.uint32),
     )
 
     def cond(s):
-        return jnp.any(s["sample_idx"] < spp)
+        return jnp.any(s["sample_idx"] < sample_end)
 
     def body(s):
-        active = s["sample_idx"] < spp
+        active = s["sample_idx"] < sample_end
         # Depth check happens before tracing, exactly like the recursion
         # guard at raytrace.zig:64-67.
         exhausted = active & (s["path_depth"] >= max_depth)
@@ -251,6 +262,9 @@ def _render_tile(
     return final["pixel_sum"], final["counters"]
 
 
+_wavefront_jit = jax.jit(wavefront_trace)
+
+
 def _counters_to_ints(counters: np.ndarray) -> list[int]:
     return [int(hi) * (1 << 32) + int(lo) for hi, lo in counters]
 
@@ -286,8 +300,8 @@ def render(scene: Scene, camera: cam.Camera, params: RenderParams):
         pad = n_lanes - ids.shape[0]
         if pad:
             ids = jnp.concatenate([ids, jnp.full((pad,), y0 * w, jnp.int32)])
-        sums, counters = _render_tile(
-            scene, camera, ids, params.seed, w, h, spp, params.max_depth, n_lanes
+        sums, counters = _wavefront_jit(
+            scene, camera, ids, params.seed, w, h, spp, params.max_depth
         )
         sums = np.asarray(sums)
         if pad:

@@ -41,7 +41,10 @@ def normalize_safe(v: jnp.ndarray, eps: float = 1e-20) -> jnp.ndarray:
     scatter directions; also keeps reverse-mode gradients finite.
     """
     n2 = length_squared(v)
-    inv = jnp.where(n2 > eps, jax_rsqrt(n2), 0.0)
+    ok = n2 > eps
+    # double-where: keep d(rsqrt)/dx finite on the masked lanes so the
+    # backward pass stays NaN-free.
+    inv = jnp.where(ok, jax_rsqrt(jnp.where(ok, n2, 1.0)), 0.0)
     return v * inv[..., None]
 
 
