@@ -31,7 +31,7 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
 
-    from zraytrace_tpu.render import _counters_to_ints, _wavefront_jit, C_RAYS
+    from zraytrace_tpu.render import _counters_to_ints, _wavefront_jit, C_ITERS, C_RAYS
     from zraytrace_tpu.scenes import three_balls
 
     built = three_balls()
@@ -55,11 +55,13 @@ def main() -> int:
     sums, counters = run(spp, sample_start=1)
     elapsed = time.time() - t0
 
-    rays = _counters_to_ints(__import__("numpy").asarray(counters))[C_RAYS]
+    ints = _counters_to_ints(__import__("numpy").asarray(counters))
+    rays, iters = ints[C_RAYS], ints[C_ITERS]
     rays_per_sec = rays / elapsed
 
     print(
-        f"# size={size} spp={spp} depth={depth} rays={rays} "
+        f"# size={size} spp={spp} depth={depth} rays={rays} iters={iters} "
+        f"lane_steps_per_ray={iters * n_lanes / max(rays, 1):.2f} "
         f"elapsed={elapsed:.3f}s compile+warm={compile_s:.1f}s "
         f"device={jax.devices()[0].device_kind}",
         file=sys.stderr,

@@ -1,0 +1,149 @@
+"""BVH tests: build invariants, traversal-vs-brute-force equivalence
+(the property-test style of bvh.zig:262-291), and gradient flow through
+the BVH path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from zraytrace_tpu import vecmath as vm
+from zraytrace_tpu.config import RenderParams
+from zraytrace_tpu.geometry.bvh import (
+    LEAF_SIZE,
+    build_tri_bvh,
+    bvh_closest_triangle,
+    bvh_depth_stats,
+)
+from zraytrace_tpu.geometry.triangle import intersect_triangles
+from zraytrace_tpu.render import render
+from zraytrace_tpu.scenes import assets_dir, build_scene
+
+
+def _random_tris(rng, n, spread=5.0):
+    base = rng.normal(size=(n, 3)) * spread
+    a = base + rng.normal(size=(n, 3)) * 0.4
+    b = base + rng.normal(size=(n, 3)) * 0.4
+    c = base + rng.normal(size=(n, 3)) * 0.4
+    f = lambda x: jnp.asarray(x, jnp.float32)
+    return f(a), f(b), f(c)
+
+
+def _random_rays(rng, n, spread=12.0):
+    o = jnp.asarray(rng.normal(size=(n, 3)) * spread, jnp.float32)
+    d = vm.normalize(jnp.asarray(rng.normal(size=(n, 3)), jnp.float32))
+    return o, d
+
+
+class TestBuild:
+    def test_invariants_random(self, rng):
+        a, b, c = _random_tris(rng, 300)
+        bvh = build_tri_bvh(a, b, c)
+        order = np.sort(np.asarray(bvh.prim_order))
+        np.testing.assert_array_equal(order, np.arange(300))
+        counts = np.asarray(bvh.prim_count)
+        assert counts.max() <= LEAF_SIZE
+        # leaf ranges partition [0, T)
+        leaves = counts > 0
+        starts = np.asarray(bvh.prim_start)[leaves]
+        sizes = counts[leaves]
+        cover = np.sort(
+            np.concatenate([np.arange(s, s + n) for s, n in zip(starts, sizes)])
+        )
+        np.testing.assert_array_equal(cover, np.arange(300))
+        # children boxes inside parents: verify every prim bbox is inside
+        # its leaf node box
+        lo = np.minimum(np.minimum(np.asarray(a), np.asarray(b)), np.asarray(c))
+        hi = np.maximum(np.maximum(np.asarray(a), np.asarray(b)), np.asarray(c))
+        nmin = np.asarray(bvh.node_min)
+        nmax = np.asarray(bvh.node_max)
+        leaf_ids = np.nonzero(leaves)[0]
+        for li in leaf_ids[:50]:
+            s, n = int(np.asarray(bvh.prim_start)[li]), int(counts[li])
+            prims = np.asarray(bvh.prim_order)[s : s + n]
+            assert (lo[prims] >= nmin[li] - 1e-4).all()
+            assert (hi[prims] <= nmax[li] + 1e-4).all()
+
+    def test_teapot_stats(self):
+        path = assets_dir() / "teapot" / "teapot.obj"
+        if not path.exists():
+            pytest.skip("asset missing")
+        scene = build_scene(3).scene
+        bvh = build_tri_bvh(scene.tri_a, scene.tri_b, scene.tri_c)
+        stats = bvh_depth_stats(bvh)
+        # 6320 triangles, <= 4 per leaf: at least 1580 leaves; depth should
+        # be logarithmic-ish (the reference reports depth 13 with leaf
+        # size 2, scenes.zig:152)
+        assert stats["n_leaves"] >= 6320 // LEAF_SIZE
+        assert stats["max_depth"] <= 40
+        assert stats["max_leaf_size"] <= LEAF_SIZE
+
+
+class TestTraversal:
+    @pytest.mark.parametrize("n_tris,n_rays", [(37, 128), (500, 256)])
+    def test_matches_brute_force(self, rng, n_tris, n_rays):
+        a, b, c = _random_tris(rng, n_tris)
+        # half aimed at centroids (hits), half fully random (misses)
+        o = jnp.asarray(rng.normal(size=(n_rays, 3)) * 12, jnp.float32)
+        centroids = (a + b + c) / 3.0
+        d_rand = vm.normalize(jnp.asarray(rng.normal(size=(n_rays, 3)), jnp.float32))
+        tgt = centroids[jnp.asarray(rng.integers(0, n_tris, n_rays))]
+        d_aim = vm.normalize(tgt - o)
+        half = n_rays // 2
+        d = jnp.concatenate([d_aim[:half], d_rand[half:]], axis=0)
+        bvh = build_tri_bvh(a, b, c)
+        t_b, i_b, h_b, uv_b = intersect_triangles(o, d, a, b, c, 1e-3, 1e30)
+        t_v, i_v, h_v, uv_v = bvh_closest_triangle(bvh, a, b, c, o, d, 1e-3, 1e30)
+        np.testing.assert_array_equal(np.asarray(h_b), np.asarray(h_v))
+        hit = np.asarray(h_b)
+        assert hit.sum() > n_rays // 4  # the aimed half must mostly hit
+        np.testing.assert_allclose(
+            np.asarray(t_b)[hit], np.asarray(t_v)[hit], rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(uv_b)[hit], np.asarray(uv_v)[hit], rtol=2e-4, atol=2e-5
+        )
+        # note: at exact-tie t the chosen index may differ; distances match.
+
+    def test_hit_rate_sanity(self, rng):
+        # Statistical test in the spirit of bvh.zig:262-291.
+        a, b, c = _random_tris(rng, 800, spread=3.0)
+        o = jnp.asarray(rng.normal(size=(2000, 3)) * 15, jnp.float32)
+        target = jnp.asarray(rng.normal(size=(2000, 3)), jnp.float32)
+        d = vm.normalize(target - o)
+        bvh = build_tri_bvh(a, b, c)
+        _, _, hit, _ = bvh_closest_triangle(bvh, a, b, c, o, d, 1e-3, 1e30)
+        n_hits = int(np.asarray(hit).sum())
+        assert 10 < n_hits < 1990, n_hits
+
+    def test_grad_flows_through_bvh_path(self, rng):
+        a, b, c = _random_tris(rng, 64)
+        # aim rays at triangle centroids so a healthy fraction hits
+        o = jnp.asarray(rng.normal(size=(64, 3)) * 15, jnp.float32)
+        centroids = (a + b + c) / 3.0
+        d = vm.normalize(centroids - o)
+        bvh = build_tri_bvh(a, b, c)
+
+        def f(av):
+            t, idx, hit, uv = bvh_closest_triangle(bvh, av, b, c, o, d, 1e-3, 1e30)
+            return jnp.sum(jnp.where(hit, t, 0.0))
+
+        g = np.asarray(jax.grad(f)(a))
+        assert np.isfinite(g).all()
+        assert np.abs(g).sum() > 0
+
+
+class TestRenderWithBVH:
+    def test_teapot_render_bvh_matches_brute(self):
+        path = assets_dir() / "teapot" / "teapot.obj"
+        if not path.exists():
+            pytest.skip("asset missing")
+        built = build_scene(3)
+        base = dict(width=8, height=8, samples_per_pixel=2, max_depth=3)
+        img_bvh, stats_bvh = render(built.scene, built.camera,
+                                    RenderParams(**base, bvh=True))
+        img_brute, stats_brute = render(built.scene, built.camera,
+                                        RenderParams(**base, bvh=False))
+        np.testing.assert_allclose(img_bvh, img_brute, atol=1e-5)
+        assert stats_bvh.samples == stats_brute.samples
+        assert stats_bvh.rays == stats_brute.rays

@@ -5,12 +5,15 @@ preferred, far root only if the near one is out of range (ray origin inside
 the sphere), spherical UV from acos/atan2, and signed radius giving inward
 normals for the hollow-glass trick (sphere.zig:45, scenes.zig:96).
 
-TPU design: the quadratic coefficients for ALL rays x ALL spheres are
-assembled from two ``(N,3) @ (3,S)`` matmuls — no ``(N,S,3)`` intermediate
-ever exists, so the whole test is matmul + fused elementwise:
-
-    half_b[n,s] = (o.d)[n] - (d @ centers^T)[n,s]
-    c[n,s]     = |o|^2[n] - 2 (o @ centers^T)[n,s] + (|center|^2 - r^2)[s]
+TPU design notes:
+- the quadratic coefficients for ALL rays x ALL spheres are assembled from
+  two ``(N,3) @ (3,S)`` matmuls — no ``(N,S,3)`` intermediate:
+      half_b[n,s] = (o.d)[n] - (d @ centers^T)[n,s]
+      c[n,s]     = |o|^2[n] - 2 (o @ centers^T)[n,s] + (|center|^2 - r^2)[s]
+- NO gathers on the hot path: the winning sphere's attributes are fetched
+  with a one-hot ``(N,S) @ (S,K)`` matmul. TPU gathers serialize at a few
+  elements/cycle and dominated the profile (tools/perf_probe.py); one-hot
+  contractions ride the MXU instead.
 """
 
 from __future__ import annotations
@@ -20,6 +23,10 @@ import jax.numpy as jnp
 from zraytrace_tpu import vecmath as vm
 
 _BIG = jnp.float32(3.4e38)  # sentinel "no hit" t, well below f32 inf
+
+# Above this sphere count a one-hot matmul stops being cheaper than a
+# gather; every reference scene has <= 7 spheres.
+ONEHOT_MAX = 1024
 
 
 def intersect_spheres(o, d, centers, radii, t_min, t_max):
@@ -64,8 +71,21 @@ def intersect_spheres(o, d, centers, radii, t_min, t_max):
 
     t = jnp.where(valid, t, _BIG)
     idx = jnp.argmin(t, axis=-1).astype(jnp.int32)  # first index wins ties
-    t_best = jnp.take_along_axis(t, idx[:, None], axis=-1)[:, 0]
+    t_best = jnp.min(t, axis=-1)  # reduce, not gather
     return t_best, idx, t_best < _BIG
+
+
+def onehot_rows(idx, table):
+    """Fetch ``table[idx]`` as a one-hot ``(N,S) @ (S,K)`` matmul
+    (gather-free). ``table``: (S,) or (S,K)."""
+    S = table.shape[0]
+    oh = (idx[:, None] == jnp.arange(S, dtype=idx.dtype)[None, :]).astype(
+        jnp.float32
+    )
+    t2 = table.astype(jnp.float32)
+    if t2.ndim == 1:
+        return oh @ t2
+    return oh @ t2
 
 
 def sphere_surface(o, d, t, idx, centers, radii):
@@ -75,8 +95,12 @@ def sphere_surface(o, d, t, idx, centers, radii):
     normal before the front-face flip (hit_record.zig:28-41), scaled by the
     signed radius so negative radii give inward normals.
     """
-    center = centers[idx]  # (N, 3)
-    radius = radii[idx]  # (N,)
+    if centers.shape[0] <= ONEHOT_MAX:
+        center = onehot_rows(idx, centers)  # (N, 3)
+        radius = onehot_rows(idx, radii)  # (N,)
+    else:
+        center = centers[idx]
+        radius = radii[idx]
     point = vm.ray_at(o, d, t)
     normal = (point - center) / radius[:, None]
     # Spherical texture coords (sphere.zig:47-51). The clip stays a hair

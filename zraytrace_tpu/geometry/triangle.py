@@ -90,8 +90,12 @@ def _intersect_chunk(o, d, oxd, pack: TrianglePack, t_min, t_max):
     )
     t = jnp.where(is_hit, t, _BIG)
     idx = jnp.argmin(t, axis=-1).astype(jnp.int32)
-    take = lambda arr: jnp.take_along_axis(arr, idx[:, None], axis=-1)[:, 0]
-    return take(t), idx, take(u), take(v)
+    t_best = jnp.min(t, axis=-1)
+    # Winner u/v via a masked reduction instead of take_along_axis: TPU
+    # gathers serialize, masked sums fuse onto the VPU.
+    oh = idx[:, None] == jnp.arange(t.shape[-1], dtype=jnp.int32)[None, :]
+    pick = lambda arr: jnp.sum(jnp.where(oh, arr, 0.0), axis=-1)
+    return t_best, idx, pick(u), pick(v)
 
 
 def intersect_triangles(o, d, a, b, c, t_min, t_max, chunk: int = TRI_CHUNK):

@@ -49,9 +49,23 @@ def scatter(scene: sc.Scene, d_in, normal, front_face, uv, mat_id, rnd,
     Returns:
       (new_dir ``(N,3)`` unit, attenuation ``(N,3)``, absorbed ``(N,)``).
     """
-    mat_type = scene.mat_type[mat_id]
-    albedo = texture_albedo(scene, scene.mat_tex[mat_id], uv, bilinear_textures)
-    ior = scene.mat_ior[mat_id]
+    # Per-lane material attributes via one one-hot (N,M)@(M,3) contraction
+    # instead of three gathers (TPU gathers serialize; see perf_probe).
+    from zraytrace_tpu.geometry.sphere import onehot_rows
+
+    mtable = jnp.stack(
+        [
+            scene.mat_type.astype(jnp.float32),
+            scene.mat_ior,
+            scene.mat_tex.astype(jnp.float32),
+        ],
+        axis=-1,
+    )
+    attrs = onehot_rows(mat_id, mtable)  # (N, 3)
+    mat_type = attrs[:, 0]
+    ior = attrs[:, 1]
+    tex_id = attrs[:, 2].astype(jnp.int32)
+    albedo = texture_albedo(scene, tex_id, uv, bilinear_textures)
 
     # --- Lambertian (material.zig:71-77) ---
     ruv = zrng.random_unit_vector(rnd[:, 0], rnd[:, 1])

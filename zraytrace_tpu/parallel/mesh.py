@@ -140,10 +140,11 @@ def render_sharded(
     t2 = time.perf_counter()
 
     image = (sums / spp).reshape(h, w, 3)
-    rays, refl, bg, rec, samples = (int(x) for x in totals)
+    rays, refl, bg, rec, samples, iters = (int(x) for x in totals)
     stats = RenderStats(
         rays=rays, reflections=refl, background_hits=bg,
         recursion_depth_hits=rec, samples=samples, pixels=n_pixels,
+        wavefront_iterations=iters,
         preprocess_seconds=t1 - t0, render_seconds=t2 - t1,
     )
     return image, stats

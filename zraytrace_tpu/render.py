@@ -39,9 +39,13 @@ from zraytrace_tpu.scene import Scene
 
 _BIG = jnp.float32(3.4e38)
 
-# Counter slots, mirroring Progress (raytrace.zig:20-34).
-N_COUNTERS = 5
-C_RAYS, C_REFLECTIONS, C_BACKGROUND, C_RECURSION, C_SAMPLES = range(N_COUNTERS)
+# Counter slots, mirroring Progress (raytrace.zig:20-34), plus wavefront
+# iteration telemetry (lockstep steps executed; the ratio iterations *
+# lanes / rays is the occupancy waste factor).
+N_COUNTERS = 6
+C_RAYS, C_REFLECTIONS, C_BACKGROUND, C_RECURSION, C_SAMPLES, C_ITERS = range(
+    N_COUNTERS
+)
 
 
 @dataclasses.dataclass
@@ -54,6 +58,7 @@ class RenderStats:
     recursion_depth_hits: int = 0
     samples: int = 0
     pixels: int = 0
+    wavefront_iterations: int = 0
     preprocess_seconds: float = 0.0
     render_seconds: float = 0.0
 
@@ -74,13 +79,18 @@ def background_color(d: jnp.ndarray) -> jnp.ndarray:
     return (1.0 - t)[..., None] * white + t[..., None] * blue
 
 
-def trace_closest(scene: Scene, o, d, t_min=T_MIN, t_max=_BIG):
+def trace_closest(scene: Scene, o, d, t_min=T_MIN, t_max=_BIG, tri_bvh=None):
     """Closest-hit query over all primitives.
 
     The reference's linear surface scan with t_max tightening
     (raytrace.zig:75-81) becomes two typed batch intersections merged by
     min-t; spheres win exact ties because every reference scene inserts
     spheres before mesh triangles.
+
+    ``tri_bvh``: optional flattened BVH (geometry/bvh.py). When given,
+    triangles are found by stackless traversal instead of the brute-force
+    scan — like the reference, the BVH is only built for larger scenes
+    (raytrace.zig:124-133).
 
     Returns dict with: hit (N,), t, point (N,3), normal (N,3) flipped
     against the ray, front_face (N,), uv (N,2), mat_id (N,).
@@ -93,9 +103,16 @@ def trace_closest(scene: Scene, o, d, t_min=T_MIN, t_max=_BIG):
     else:
         ts = jnp.full((n,), _BIG)
         si = jnp.zeros((n,), jnp.int32)
-    tt, ti, _, uv_t = intersect_triangles(
-        o, d, scene.tri_a, scene.tri_b, scene.tri_c, t_min, t_max
-    )
+    if tri_bvh is not None and scene.n_triangles > 0:
+        from zraytrace_tpu.geometry.bvh import bvh_closest_triangle
+
+        tt, ti, _, uv_t = bvh_closest_triangle(
+            tri_bvh, scene.tri_a, scene.tri_b, scene.tri_c, o, d, t_min, _BIG
+        )
+    else:
+        tt, ti, _, uv_t = intersect_triangles(
+            o, d, scene.tri_a, scene.tri_b, scene.tri_c, t_min, t_max
+        )
 
     use_tri = tt < ts
     t = jnp.where(use_tri, tt, ts)
@@ -108,7 +125,10 @@ def trace_closest(scene: Scene, o, d, t_min=T_MIN, t_max=_BIG):
 
     if scene.n_spheres > 0:
         p_s, n_s, uv_s = sphere_surface(o, d, t_attr, si, scene.sph_center, scene.sph_radius)
-        mat_s = scene.sph_mat[si]
+        from zraytrace_tpu.geometry.sphere import onehot_rows
+
+        # gather-free material id (see perf_probe: TPU gathers serialize)
+        mat_s = jnp.round(onehot_rows(si, scene.sph_mat)).astype(jnp.int32)
     else:
         p_s = n_s = jnp.zeros_like(o)
         uv_s = jnp.zeros((n, 2), jnp.float32)
@@ -156,6 +176,7 @@ def wavefront_trace(
     spp,
     max_depth,
     sample_start=0,
+    tri_bvh=None,
 ):
     """Trace samples ``[sample_start, sample_start + spp)`` for each pixel
     lane. Returns (pixel_sum (N,3), counters (5,2) uint32).
@@ -203,7 +224,7 @@ def wavefront_trace(
         exhausted = active & (s["path_depth"] >= max_depth)
         processing = active & ~exhausted
 
-        h = trace_closest(scene, s["o"], s["d"])
+        h = trace_closest(scene, s["o"], s["d"], tri_bvh=tri_bvh)
         rnd = zrng.uniform4(
             seed, pixel_ids, s["sample_idx"], s["path_depth"], zrng.STREAM_SCATTER
         )
@@ -235,6 +256,9 @@ def wavefront_trace(
         )
         counters = counters.at[C_SAMPLES].set(
             _u64_add(counters[C_SAMPLES], _count(path_done))
+        )
+        counters = counters.at[C_ITERS].set(
+            _u64_add(counters[C_ITERS], jnp.uint32(1))
         )
 
         # Continue scattered paths.
@@ -286,6 +310,14 @@ def render(scene: Scene, camera: cam.Camera, params: RenderParams):
     rows_per_tile = max(1, min(h, params.max_wavefront // w))
     n_tiles = math.ceil(h / rows_per_tile)
 
+    # BVH only pays off for larger scenes, same policy as the reference
+    # (raytrace.zig:124-133: ">10 surfaces").
+    tri_bvh = None
+    if params.bvh and scene.n_triangles > 10:
+        from zraytrace_tpu.geometry.bvh import build_tri_bvh
+
+        tri_bvh = build_tri_bvh(scene.tri_a, scene.tri_b, scene.tri_c)
+
     stats = RenderStats(pixels=n_pixels)
     image = np.zeros((h, w, 3), np.float32)
     totals = np.zeros((N_COUNTERS, 2), np.uint64)
@@ -301,7 +333,8 @@ def render(scene: Scene, camera: cam.Camera, params: RenderParams):
         if pad:
             ids = jnp.concatenate([ids, jnp.full((pad,), y0 * w, jnp.int32)])
         sums, counters = _wavefront_jit(
-            scene, camera, ids, params.seed, w, h, spp, params.max_depth
+            scene, camera, ids, params.seed, w, h, spp, params.max_depth,
+            0, tri_bvh,
         )
         sums = np.asarray(sums)
         if pad:
@@ -315,12 +348,13 @@ def render(scene: Scene, camera: cam.Camera, params: RenderParams):
     jax.block_until_ready(jnp.zeros(()))
     t2 = time.perf_counter()
 
-    rays, refl, bg, rec, samples = _counters_to_ints(totals)
+    rays, refl, bg, rec, samples, iters = _counters_to_ints(totals)
     stats.rays = rays
     stats.reflections = refl
     stats.background_hits = bg
     stats.recursion_depth_hits = rec
     stats.samples = samples
+    stats.wavefront_iterations = iters
     stats.preprocess_seconds = t1 - t0
     stats.render_seconds = t2 - t1
     return image_np, stats

@@ -1,9 +1,14 @@
-"""Texture lookup: one branchless gather over the texture tables.
+"""Texture lookup: gather-free table access + one flat atlas gather.
 
 Reference semantics: texture.zig — constant color (texture.zig:31-44) and
 nearest-neighbor image lookup with u-flip and u/v offsets with single-step
 wrap (texture.zig:52-74). The image rows are stored bottom-up (the PNG
 reader flips vertically, png_image.zig:86), which our loader reproduces.
+
+TPU design: per-lane lookups into the small texture table are one-hot
+``(N,K) @ (K,C)`` matmuls (TPU gathers serialize; matmuls ride the MXU —
+see tools/perf_probe.py). Only the actual texel fetch is a real gather,
+done once per lane against the flattened ``(A*H*W, 3)`` atlas.
 
 Note: the reference wraps ``vv`` by +1 when ``uu_first < 0`` instead of
 ``vv_first < 0`` (texture.zig:66) — a latent bug that can never fire with
@@ -17,12 +22,37 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from zraytrace_tpu import scene as sc
+from zraytrace_tpu.geometry.sphere import onehot_rows
 
 
 def _wrap(x):
     """Single-step wrap into [0, 1] (texture.zig:54-68)."""
     x = jnp.where(x > 1.0, x - 1.0, x)
     return jnp.where(x < 0.0, x + 1.0, x)
+
+
+def _texture_table(scene: sc.Scene) -> jnp.ndarray:
+    """Per-texture attribute matrix ``(K, 9)``:
+    [type, r, g, b, flat_base, u_off, v_off, h, w].
+
+    Built in-trace from scene leaves (K is tiny), so gradients flow to
+    ``tex_color`` through the one-hot contraction.
+    """
+    a_h, a_w = scene.atlas.shape[1], scene.atlas.shape[2]
+    aid = scene.tex_image  # (K,)
+    hw = scene.atlas_hw[aid].astype(jnp.float32)  # (K, 2) — tiny gather
+    base = (aid * (a_h * a_w)).astype(jnp.float32)  # flat offset into atlas
+    return jnp.concatenate(
+        [
+            scene.tex_type.astype(jnp.float32)[:, None],
+            scene.tex_color,
+            base[:, None],
+            scene.tex_offset,
+            hw[:, 0:1],
+            hw[:, 1:2],
+        ],
+        axis=-1,
+    )
 
 
 def texture_albedo(scene: sc.Scene, tex_id: jnp.ndarray, uv: jnp.ndarray,
@@ -36,16 +66,22 @@ def texture_albedo(scene: sc.Scene, tex_id: jnp.ndarray, uv: jnp.ndarray,
         nearest-neighbor lookup (texture.zig:70-73) — needed for usable
         gradients w.r.t. hit position; off by default for forward parity.
     """
-    tex_type = scene.tex_type[tex_id]  # (N,)
-    const_color = scene.tex_color[tex_id]  # (N, 3)
-
-    aid = scene.tex_image[tex_id]  # (N,)
-    off = scene.tex_offset[tex_id]  # (N, 2)
-    hw = scene.atlas_hw[aid].astype(jnp.float32)  # (N, 2) true (H, W)
-    h, w = hw[:, 0], hw[:, 1]
+    attrs = onehot_rows(tex_id, _texture_table(scene))  # (N, 9)
+    tex_type = attrs[:, 0]
+    const_color = attrs[:, 1:4]
+    base = attrs[:, 4]
+    off = attrs[:, 5:7]
+    h, w = attrs[:, 7], attrs[:, 8]
 
     uu = _wrap(1.0 - uv[:, 0] + off[:, 0])  # u flip + offset (texture.zig:54)
     vv = _wrap(uv[:, 1] + off[:, 1])
+
+    atlas_w = scene.atlas.shape[2]
+    flat_atlas = scene.atlas.reshape(-1, 3)
+
+    def fetch(ix, iy):
+        flat = base.astype(jnp.int32) + iy * atlas_w + ix
+        return flat_atlas[flat]  # the one real gather
 
     if bilinear:
         fx = uu * w - 0.5
@@ -55,15 +91,15 @@ def texture_albedo(scene: sc.Scene, tex_id: jnp.ndarray, uv: jnp.ndarray,
         tx = (fx - x0)[:, None]
         ty = (fy - y0)[:, None]
 
-        def fetch(xi, yi):
+        def fetch_c(xi, yi):
             xi = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
             yi = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
-            return scene.atlas[aid, yi, xi]
+            return fetch(xi, yi)
 
-        c00 = fetch(x0, y0)
-        c10 = fetch(x0 + 1, y0)
-        c01 = fetch(x0, y0 + 1)
-        c11 = fetch(x0 + 1, y0 + 1)
+        c00 = fetch_c(x0, y0)
+        c10 = fetch_c(x0 + 1, y0)
+        c01 = fetch_c(x0, y0 + 1)
+        c11 = fetch_c(x0 + 1, y0 + 1)
         img_color = (
             c00 * (1 - tx) * (1 - ty)
             + c10 * tx * (1 - ty)
@@ -74,6 +110,6 @@ def texture_albedo(scene: sc.Scene, tex_id: jnp.ndarray, uv: jnp.ndarray,
         # Truncation + clamp exactly as texture.zig:70-73.
         ix = jnp.clip((uu * w).astype(jnp.int32), 0, (w - 1).astype(jnp.int32))
         iy = jnp.clip((vv * h).astype(jnp.int32), 0, (h - 1).astype(jnp.int32))
-        img_color = scene.atlas[aid, iy, ix]
+        img_color = fetch(ix, iy)
 
-    return jnp.where((tex_type == sc.TEX_IMAGE)[:, None], img_color, const_color)
+    return jnp.where((tex_type > 0.5)[:, None], img_color, const_color)
