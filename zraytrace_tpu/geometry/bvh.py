@@ -81,6 +81,24 @@ def build_tri_bvh(a, b, c, leaf_size: int = LEAF_SIZE) -> TriBVH:
 
     lo = np.minimum(np.minimum(a, b), c)
     hi = np.maximum(np.maximum(a, b), c)
+
+    # Prefer the native (C++) builder — same algorithm, ~100x faster on
+    # big meshes; numpy fallback below is always available.
+    from zraytrace_tpu.native.api import build_bvh_native
+
+    native = build_bvh_native(lo.astype(np.float32), hi.astype(np.float32),
+                              leaf_size)
+    if native is not None:
+        nmin, nmax, pstart, pcount, skip, order = native
+        return TriBVH(
+            node_min=jnp.asarray(nmin),
+            node_max=jnp.asarray(nmax),
+            prim_start=jnp.asarray(pstart),
+            prim_count=jnp.asarray(pcount),
+            skip=jnp.asarray(skip),
+            prim_order=jnp.asarray(order),
+        )
+
     centroid = (lo + hi) * 0.5
 
     order = np.arange(T, dtype=np.int64)

@@ -75,16 +75,86 @@ def intersect_spheres(o, d, centers, radii, t_min, t_max):
     return t_best, idx, t_best < _BIG
 
 
-def onehot_rows(idx, table):
-    """Fetch ``table[idx]`` as a one-hot ``(N,S) @ (S,K)`` matmul
-    (gather-free). ``table``: (S,) or (S,K)."""
+def intersect_spheres_fused(o, d, centers, radii, mat_ids, t_min, t_max):
+    """Closest sphere hit with attributes, as ONE fused elementwise chain.
+
+    Unrolls the sphere loop (python-level, S is static and small) carrying
+    the running winner — the TPU-fastest formulation for the reference's
+    scene sizes (<= 7 spheres): no (N,S) matrices, no argmin, no one-hot
+    contractions, everything fuses onto the VPU. Strict ``<`` keeps the
+    first sphere on ties, matching the reference scan (raytrace.zig:75-81).
+
+    Returns dict(t, hit, center (N,3), radius (N,), mat_id (N,)).
+    """
+    n = o.shape[0]
+    o_dot_d = vm.dot(o, d)
+    o_sq = vm.length_squared(o)
+    t_best = jnp.full((n,), _BIG)
+    c_sel = jnp.zeros((n, 3), jnp.float32)
+    r_sel = jnp.ones((n,), jnp.float32)
+    m_sel = jnp.zeros((n,), jnp.int32)
+    for s in range(centers.shape[0]):
+        c = centers[s]
+        r = radii[s]
+        # half-b quadratic (sphere.zig:32-40) via the o-decomposition
+        half_b = o_dot_d - d @ c
+        cc = o_sq - 2.0 * (o @ c) + (c @ c - r * r)
+        disc = half_b * half_b - cc
+        pos = disc > 0.0
+        root = jnp.where(pos, jnp.sqrt(jnp.where(pos, disc, 1.0)), 0.0)
+        t1 = -half_b - root
+        t2 = -half_b + root
+        ok1 = (t1 > t_min) & (t1 < t_max)
+        ok2 = (t2 > t_min) & (t2 < t_max)
+        t = jnp.where(ok1, t1, t2)
+        valid = (disc >= 0.0) & (ok1 | ok2)
+        better = valid & (t < t_best)
+        t_best = jnp.where(better, t, t_best)
+        b3 = better[:, None]
+        c_sel = jnp.where(b3, c, c_sel)
+        r_sel = jnp.where(better, r, r_sel)
+        m_sel = jnp.where(better, mat_ids[s], m_sel)
+    return dict(
+        t=t_best, hit=t_best < _BIG, center=c_sel, radius=r_sel, mat_id=m_sel
+    )
+
+
+def sphere_attributes(o, d, t, center, radius):
+    """point/outward-normal/uv from the carried winner attributes
+    (no index needed). Same math as sphere_surface."""
+    point = vm.ray_at(o, d, t)
+    normal = (point - center) / radius[:, None]
+    ny = jnp.clip(normal[:, 1], -1.0 + 1e-7, 1.0 - 1e-7)
+    theta = jnp.arccos(-ny)
+    phi = jnp.arctan2(-normal[:, 2], -normal[:, 0]) + jnp.pi
+    uv = jnp.stack([phi / (2.0 * jnp.pi), theta / jnp.pi], axis=-1)
+    return point, normal, uv
+
+
+def onehot_rows(idx, table, unroll_max: int = 16):
+    """Gather-free ``table[idx]``.
+
+    Small tables (the common case: materials, textures, reference scenes)
+    unroll into a where-select chain that fuses entirely onto the VPU;
+    larger ones use a one-hot ``(N,S) @ (S,K)`` MXU contraction. Either
+    way: no TPU gather (they serialize — tools/perf_probe.py).
+    ``table``: (S,) or (S, K); result is f32.
+    """
     S = table.shape[0]
+    t2 = table.astype(jnp.float32)
+    if S <= unroll_max:
+        if t2.ndim == 1:
+            out = jnp.zeros(idx.shape, jnp.float32)
+            for s in range(S):
+                out = jnp.where(idx == s, t2[s], out)
+            return out
+        out = jnp.zeros(idx.shape + (t2.shape[1],), jnp.float32)
+        for s in range(S):
+            out = jnp.where((idx == s)[..., None], t2[s], out)
+        return out
     oh = (idx[:, None] == jnp.arange(S, dtype=idx.dtype)[None, :]).astype(
         jnp.float32
     )
-    t2 = table.astype(jnp.float32)
-    if t2.ndim == 1:
-        return oh @ t2
     return oh @ t2
 
 

@@ -59,6 +59,21 @@ def _face_vertex_index(token: str) -> int:
 
 
 def read_obj(path) -> ObjModel:
+    # Native C++ fast path (same semantics); Python fallback below.
+    try:
+        from zraytrace_tpu.native.api import parse_obj_native
+
+        native = parse_obj_native(path)
+    except ImportError:  # pragma: no cover
+        native = None
+    if native is not None:
+        vertices_np, tris_np, faces, n_normals = native
+        return ObjModel(
+            vertices=vertices_np,
+            faces=faces,
+            triangles=tris_np,
+            vertex_normals=np.zeros((n_normals, 3), np.float32),
+        )
     vertices: list[tuple[float, float, float]] = []
     normals: list[tuple[float, float, float]] = []
     tris: list[tuple[int, int, int]] = []

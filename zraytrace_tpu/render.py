@@ -96,6 +96,31 @@ def trace_closest(scene: Scene, o, d, t_min=T_MIN, t_max=_BIG, tri_bvh=None):
     against the ray, front_face (N,), uv (N,2), mat_id (N,).
     """
     n = o.shape[0]
+
+    # Sphere-only scenes (the 7-spheres showcase class) take a fully
+    # fused path: an unrolled running-winner loop with zero gathers,
+    # matmuls or argmins — everything one VPU elementwise chain.
+    if scene.n_triangles == 0 and 0 < scene.n_spheres <= 32:
+        from zraytrace_tpu.geometry.sphere import (
+            intersect_spheres_fused,
+            sphere_attributes,
+        )
+
+        fs = intersect_spheres_fused(
+            o, d, scene.sph_center, scene.sph_radius, scene.sph_mat,
+            t_min, t_max,
+        )
+        hit = fs["hit"]
+        t_attr = jnp.where(hit, fs["t"], 1.0)
+        point, outward, uv = sphere_attributes(
+            o, d, t_attr, fs["center"], fs["radius"]
+        )
+        front_face = vm.dot(d, outward) <= 0.0
+        normal = jnp.where(front_face[:, None], outward, -outward)
+        return dict(
+            hit=hit, t=fs["t"], point=point, normal=normal,
+            front_face=front_face, uv=uv, mat_id=fs["mat_id"],
+        )
     if scene.n_spheres > 0:
         ts, si, _ = intersect_spheres(
             o, d, scene.sph_center, scene.sph_radius, t_min, t_max
