@@ -19,6 +19,20 @@ JAX/XLA/Pallas framework:
 
 __version__ = "0.1.0"
 
+# TPU matmuls default to bf16 passes; the intersection math decomposes
+# dot products into matmuls whose operands cancel catastrophically (e.g.
+# |oc|^2 - r^2 for the r=100 ground sphere), and bf16 there produces
+# phantom hits — measured as rays/sample inflating from the reference's
+# 2.14 to 4.85 on TPU. Full f32 precision is a correctness requirement
+# for this framework, not a tuning choice. Opt out (at your own risk)
+# with ZRAYTRACE_FAST_MATMUL=1.
+import os as _os
+
+if _os.environ.get("ZRAYTRACE_FAST_MATMUL", "0") != "1":
+    import jax as _jax
+
+    _jax.config.update("jax_default_matmul_precision", "highest")
+
 from zraytrace_tpu.config import RenderParams
 from zraytrace_tpu.scene import Scene, Camera
 

@@ -1,0 +1,161 @@
+"""Checkpoint / resume for long renders and optimizations.
+
+The reference has nothing here — a crash loses the render (SURVEY.md §5).
+Design: Monte Carlo accumulation is a running sum, so the checkpoint is
+simply (pixel_sum, samples_done, counters). Resuming continues the SAME
+sample streams (stateless RNG is keyed by absolute sample index), so a
+resumed render is bit-identical to an uninterrupted one.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import tempfile
+
+import numpy as np
+
+from zraytrace_tpu import camera as cam
+from zraytrace_tpu.config import RenderParams
+from zraytrace_tpu.render import N_COUNTERS, RenderStats, _counters_to_ints
+from zraytrace_tpu.scene import Scene
+
+_MAGIC = "zraytrace_tpu-render-v1"
+
+
+@dataclasses.dataclass
+class RenderCheckpoint:
+    pixel_sum: np.ndarray  # (H*W, 3) f64 accumulated radiance sums
+    counters: np.ndarray  # (N_COUNTERS, 2) uint64 two-limb totals
+    samples_done: int
+    width: int
+    height: int
+    seed: int
+    max_depth: int
+
+
+def save_checkpoint(path, ckpt: RenderCheckpoint) -> None:
+    """Atomic write (tmp + rename) so an interrupt never corrupts it."""
+    d = os.path.dirname(os.path.abspath(path)) or "."
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            np.savez(
+                f,
+                magic=_MAGIC,
+                pixel_sum=ckpt.pixel_sum,
+                counters=ckpt.counters,
+                samples_done=ckpt.samples_done,
+                width=ckpt.width,
+                height=ckpt.height,
+                seed=ckpt.seed,
+                max_depth=ckpt.max_depth,
+            )
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+
+
+def load_checkpoint(path) -> RenderCheckpoint | None:
+    if not os.path.exists(path):
+        return None
+    with np.load(path, allow_pickle=False) as z:
+        if str(z["magic"]) != _MAGIC:
+            raise ValueError(f"{path} is not a {_MAGIC} checkpoint")
+        return RenderCheckpoint(
+            pixel_sum=z["pixel_sum"],
+            counters=z["counters"],
+            samples_done=int(z["samples_done"]),
+            width=int(z["width"]),
+            height=int(z["height"]),
+            seed=int(z["seed"]),
+            max_depth=int(z["max_depth"]),
+        )
+
+
+def render_checkpointed(
+    scene: Scene,
+    camera: cam.Camera,
+    params: RenderParams,
+    path,
+    chunk_spp: int = 50,
+):
+    """Render with periodic checkpointing every ``chunk_spp`` samples.
+
+    Resumes from ``path`` if present (must match the render config).
+    Because sample streams are keyed by absolute sample index, a resumed
+    run produces bit-identical results to an uninterrupted
+    ``render_checkpointed`` call with the same chunking (and is
+    statistically identical to ``render``, which accumulates in a
+    different order). Returns ``(image, RenderStats)``.
+    """
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from zraytrace_tpu.render import _wavefront_jit
+
+    w, h = params.width, params.height
+    n = w * h
+    if n > params.max_wavefront:
+        raise ValueError(
+            "render_checkpointed currently requires the image to fit one "
+            f"wavefront ({n} > {params.max_wavefront}); raise max_wavefront"
+        )
+
+    ckpt = load_checkpoint(path)
+    if ckpt is not None:
+        if (ckpt.width, ckpt.height, ckpt.seed, ckpt.max_depth) != (
+            w, h, params.seed, params.max_depth,
+        ):
+            raise ValueError(f"checkpoint {path} does not match render config")
+        pixel_sum = ckpt.pixel_sum.astype(np.float64)
+        counters = ckpt.counters.astype(np.uint64)
+        done = ckpt.samples_done
+    else:
+        pixel_sum = np.zeros((n, 3), np.float64)
+        counters = np.zeros((N_COUNTERS, 2), np.uint64)
+        done = 0
+
+    tri_bvh = None
+    if params.bvh and scene.n_triangles > 10:
+        from zraytrace_tpu.geometry.bvh import build_tri_bvh
+
+        tri_bvh = build_tri_bvh(scene.tri_a, scene.tri_b, scene.tri_c)
+
+    ids = jnp.arange(n, dtype=jnp.int32)
+    t0 = time.perf_counter()
+    while done < params.samples_per_pixel:
+        step = min(chunk_spp, params.samples_per_pixel - done)
+        sums, cnts = _wavefront_jit(
+            scene, camera, ids, params.seed, w, h, step, params.max_depth,
+            done, tri_bvh,
+        )
+        jax.block_until_ready(sums)
+        pixel_sum += np.asarray(sums, np.float64)
+        counters += np.asarray(cnts, np.uint64)
+        done += step
+        save_checkpoint(
+            path,
+            RenderCheckpoint(
+                pixel_sum=pixel_sum, counters=counters, samples_done=done,
+                width=w, height=h, seed=params.seed,
+                max_depth=params.max_depth,
+            ),
+        )
+    elapsed = time.perf_counter() - t0
+
+    image = (pixel_sum / params.samples_per_pixel).reshape(h, w, 3).astype(
+        np.float32
+    )
+    rays, refl, bg, rec, samples, iters = _counters_to_ints(counters)
+    stats = RenderStats(
+        rays=rays, reflections=refl, background_hits=bg,
+        recursion_depth_hits=rec, samples=samples, pixels=n,
+        wavefront_iterations=iters, render_seconds=elapsed,
+    )
+    return image, stats

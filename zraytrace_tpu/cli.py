@@ -9,6 +9,7 @@ reference's inner pixel loop iterates to ``height``, raytrace.zig:168).
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 
@@ -60,21 +61,15 @@ def main(argv=None) -> int:
     print(f" - Samples per pixel: {params.samples_per_pixel}", file=sys.stderr)
     print(f" - Recursion depth:   {params.max_depth}", file=sys.stderr)
 
-    image, stats = render(built.scene, built.camera, params)
+    from zraytrace_tpu.profiling import print_render_report, xla_trace
+
+    with xla_trace(os.environ.get("ZRAYTRACE_TRACE_DIR")):
+        image, stats = render(built.scene, built.camera, params)
     write_png(args.filename, image)
     if args.ppm:
         write_ppm(str(args.filename) + ".ppm", image)
 
-    print("Rendering ready", file=sys.stderr)
-    print(f"  Total reflections:     {stats.reflections}", file=sys.stderr)
-    print(f"  Total background hits: {stats.background_hits}", file=sys.stderr)
-    print(f"  Total pixels:          {stats.pixels}", file=sys.stderr)
-    print(f"  Total samples:         {stats.samples}", file=sys.stderr)
-    print(f"  Total rays:            {stats.rays}", file=sys.stderr)
-    print(f"  Pixels per second:     {stats.pixels_per_second:.2f}", file=sys.stderr)
-    print(f"  Rays per second:       {stats.rays_per_second:.3e}", file=sys.stderr)
-    print(f"  Total runtime:         {stats.preprocess_seconds + stats.render_seconds:.2f} s",
-          file=sys.stderr)
+    print_render_report(stats)
     return 0
 
 

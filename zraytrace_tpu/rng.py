@@ -52,8 +52,15 @@ def pcg4d(v: jnp.ndarray) -> jnp.ndarray:
 
 
 def _to_unit_float(bits: jnp.ndarray) -> jnp.ndarray:
-    """uint32 -> float32 uniform in [0, 1) using the top 24 bits."""
-    return (bits >> 8).astype(jnp.float32) * jnp.float32(1.0 / 16777216.0)
+    """uint32 -> float32 uniform in [0, 1) using the top 24 bits.
+
+    The intermediate int32 cast is value-preserving (top-24-bit values
+    < 2^24) and required inside Pallas kernels: Mosaic cannot lower a
+    direct uint32 -> float32 cast.
+    """
+    return (bits >> 8).astype(jnp.int32).astype(jnp.float32) * jnp.float32(
+        1.0 / 16777216.0
+    )
 
 
 def uniform4(seed, pixel, sample, bounce, stream=STREAM_GENERIC) -> jnp.ndarray:
