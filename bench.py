@@ -36,14 +36,22 @@ def main() -> int:
 
     built = three_balls()
     scene, camera = built.scene, built.camera
-    n_lanes = size * size
+    n_pixels = size * size
+    n_lanes = min(
+        n_pixels, int(os.environ.get("ZRAYTRACE_BENCH_LANES", str(1 << 18)))
+    )
+    n_slots = -(-n_pixels // n_lanes)
     ids = jnp.arange(n_lanes, dtype=jnp.int32)
 
     def run(n_samples, sample_start=0):
         sums, counters = _wavefront_jit(
-            scene, camera, ids, 42, size, size, n_samples, depth, sample_start
+            scene, camera, ids, 42, size, size, n_samples, depth,
+            sample_start, None, n_lanes, n_pixels, n_slots,
         )
-        jax.block_until_ready(sums)
+        jax.block_until_ready(counters)
+        # force a real sync through the relay (block_until_ready on its
+        # own has been observed not to wait there)
+        _ = float(jnp.sum(counters[0]).astype(jnp.float32))
         return sums, counters
 
     # Warm-up compiles the single program all spp values share.

@@ -213,6 +213,21 @@ def test_depth_one_is_direct_background_or_black():
     assert img.min() >= 0.0
 
 
+def test_multi_slot_lanes_match_full_wavefront():
+    """Lanes that walk several strided pixels (slots) must reproduce the
+    one-lane-per-pixel result exactly (same stateless sample streams)."""
+    scene, camera = _mini_scene()
+    base = dict(width=8, height=8, samples_per_pixel=3, max_depth=4)
+    img_full, stats_full = render(scene, camera, RenderParams(**base))
+    for wavefront in (16, 24, 40):  # 4, 3, 2 slots (incl. ragged tails)
+        img_s, stats_s = render(
+            scene, camera, RenderParams(**base, max_wavefront=wavefront)
+        )
+        np.testing.assert_allclose(img_full, img_s, atol=1e-6)
+        assert stats_s.samples == stats_full.samples
+        assert stats_s.rays == stats_full.rays
+
+
 def test_max_wavefront_padding_tail():
     scene, camera = _mini_scene()
     # 3 rows per tile with 8 rows -> last tile is padded

@@ -136,7 +136,7 @@ def render_checkpointed(
             done, tri_bvh,
         )
         jax.block_until_ready(sums)
-        pixel_sum += np.asarray(sums, np.float64)
+        pixel_sum += np.asarray(sums[0], np.float64)
         counters += np.asarray(cnts, np.uint64)
         done += step
         save_checkpoint(

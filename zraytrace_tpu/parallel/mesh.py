@@ -71,11 +71,12 @@ def _sharded_wavefront(mesh: Mesh):
     def fn(scene, camera, pixel_ids, seed, width, height, spp_local,
            max_depth, sample_starts):
         # pixel_ids: (N/d,) local; sample_starts: (1,) local slice start.
-        sums, counters = wavefront_trace(
+        slot_sums, counters = wavefront_trace(
             scene, camera, pixel_ids, seed, width, height,
             spp_local, max_depth, sample_start=sample_starts[0],
+            n_slots=1,
         )
-        sums = jax.lax.psum(sums, SAMPLE_AXIS)
+        sums = jax.lax.psum(slot_sums[0], SAMPLE_AXIS)
         return sums, counters[None]
 
     return jax.jit(

@@ -194,7 +194,7 @@ def _count(mask) -> jnp.ndarray:
 def wavefront_trace(
     scene: Scene,
     camera: cam.Camera,
-    pixel_ids: jnp.ndarray,  # (N,) int32 global pixel index y*W + x
+    pixel_base: jnp.ndarray,  # (N,) int32 first pixel id per lane
     seed,
     width,
     height,
@@ -202,48 +202,75 @@ def wavefront_trace(
     max_depth,
     sample_start=0,
     tri_bvh=None,
+    pixel_stride=None,
+    n_pixels=None,
+    n_slots: int = 1,
 ):
-    """Trace samples ``[sample_start, sample_start + spp)`` for each pixel
-    lane. Returns (pixel_sum (N,3), counters (5,2) uint32).
+    """Trace samples ``[sample_start, sample_start + spp)`` for a set of
+    pixels per lane. Returns (slot_sums (n_slots, N, 3), counters (6,2)).
 
-    Everything except the lane count is a traced scalar, so one compiled
-    program serves every resolution/spp/depth with the same wavefront
-    size. ``sample_start`` offsets the per-lane sample stream — the
-    'sample' mesh axis shards this range and psums the pixel sums (the
-    sample mean at raytrace.zig:182 is associative).
+    Lane ``i`` processes pixels ``pixel_base[i] + k * pixel_stride`` for
+    ``k in [0, n_slots)`` (skipping ids >= n_pixels), one sample stream
+    after another. Multi-pixel lanes average out per-pixel path-length
+    variance, cutting the lockstep tail waste (heavy glass pixels no
+    longer pin a whole lane for the entire render), and shrink resident
+    state. ``n_slots`` is static (it shapes the output); everything else
+    is traced, so one compiled program serves every resolution/spp/depth
+    at a given lane count.
+
+    ``sample_start`` offsets the per-lane sample stream — the 'sample'
+    mesh axis shards this range and psums the pixel sums (the sample mean
+    at raytrace.zig:182 is associative).
     """
+    n = pixel_base.shape[0]
     width = jnp.asarray(width, jnp.int32)
+    height = jnp.asarray(height, jnp.int32)
     spp = jnp.asarray(spp, jnp.int32)
     max_depth = jnp.asarray(max_depth, jnp.int32)
     sample_start = jnp.asarray(sample_start, jnp.int32)
     sample_end = sample_start + spp
-    fw = jnp.asarray(width, jnp.float32)
-    fh = jnp.asarray(height, jnp.float32)
-    px = (pixel_ids % width).astype(jnp.float32)
-    py = (pixel_ids // width).astype(jnp.float32)
+    pixel_stride = jnp.asarray(
+        n if pixel_stride is None else pixel_stride, jnp.int32
+    )
+    n_pixels = (
+        width * height if n_pixels is None else jnp.asarray(n_pixels, jnp.int32)
+    )
+    fw = width.astype(jnp.float32)
+    fh = height.astype(jnp.float32)
 
-    def camera_rays(sample_idx):
+    def camera_rays(pixel_ids, sample_idx):
         j = zrng.uniform4(seed, pixel_ids, sample_idx, 0, zrng.STREAM_CAMERA)
+        px = (pixel_ids % width).astype(jnp.float32)
+        py = (pixel_ids // width).astype(jnp.float32)
         u, v = cam.pixel_uv(px, py, j[:, 0], j[:, 1], fw, fh)
         return cam.get_rays(camera, u, v)
 
-    n = pixel_ids.shape[0]
-    o0, d0 = camera_rays(jnp.full((n,), sample_start, jnp.int32))
+    pixel0 = pixel_base
+    o0, d0 = camera_rays(pixel0, jnp.full((n,), sample_start, jnp.int32))
     state = dict(
         o=o0,
         d=d0,
         throughput=jnp.ones((n, 3), jnp.float32),
+        acc=jnp.zeros((n, 3), jnp.float32),  # current pixel's sample sum
         path_depth=jnp.zeros((n,), jnp.int32),
         sample_idx=jnp.full((n,), sample_start, jnp.int32),
-        pixel_sum=jnp.zeros((n, 3), jnp.float32),
+        slot=jnp.zeros((n,), jnp.int32),
+        slot_sums=jnp.zeros((n_slots, n, 3), jnp.float32),
         counters=jnp.zeros((N_COUNTERS, 2), jnp.uint32),
     )
 
+    def lane_pixel(slot):
+        return pixel_base + slot * pixel_stride
+
+    def lane_alive(slot):
+        return (slot < n_slots) & (lane_pixel(slot) < n_pixels)
+
     def cond(s):
-        return jnp.any(s["sample_idx"] < sample_end)
+        return jnp.any(lane_alive(s["slot"]))
 
     def body(s):
-        active = s["sample_idx"] < sample_end
+        pixel_ids = lane_pixel(s["slot"])
+        active = lane_alive(s["slot"])
         # Depth check happens before tracing, exactly like the recursion
         # guard at raytrace.zig:64-67.
         exhausted = active & (s["path_depth"] >= max_depth)
@@ -266,7 +293,7 @@ def wavefront_trace(
         radiance = jnp.where(
             miss[:, None], s["throughput"] * background_color(s["d"]), 0.0
         )
-        pixel_sum = s["pixel_sum"] + radiance
+        acc = s["acc"] + radiance
 
         counters = s["counters"]
         counters = counters.at[C_RAYS].set(_u64_add(counters[C_RAYS], _count(processing)))
@@ -293,9 +320,24 @@ def wavefront_trace(
         d = jnp.where(sc3, new_dir, s["d"])
         path_depth = jnp.where(scattered, s["path_depth"] + 1, s["path_depth"])
 
-        # Regenerate the next camera sample on lanes whose path just ended.
+        # Sample bookkeeping: advance the sample; when the pixel's spp is
+        # complete, commit its sum into the slot output and move the lane
+        # to its next pixel.
         sample_idx = s["sample_idx"] + path_done.astype(jnp.int32)
-        o_new, d_new = camera_rays(sample_idx)
+        pixel_finished = path_done & (sample_idx >= sample_end)
+        slot_sums = s["slot_sums"]
+        for k in range(n_slots):
+            commit_k = (pixel_finished & (s["slot"] == k))[:, None]
+            slot_sums = slot_sums.at[k].set(
+                slot_sums[k] + jnp.where(commit_k, acc, 0.0)
+            )
+        acc = jnp.where(pixel_finished[:, None], 0.0, acc)
+        slot = s["slot"] + pixel_finished.astype(jnp.int32)
+        sample_idx = jnp.where(pixel_finished, sample_start, sample_idx)
+
+        # Regenerate the next camera sample on lanes whose path just ended.
+        new_pixel = lane_pixel(slot)
+        o_new, d_new = camera_rays(new_pixel, sample_idx)
         pd3 = path_done[:, None]
         o = jnp.where(pd3, o_new, o)
         d = jnp.where(pd3, d_new, d)
@@ -303,15 +345,16 @@ def wavefront_trace(
         path_depth = jnp.where(path_done, 0, path_depth)
 
         return dict(
-            o=o, d=d, throughput=throughput, path_depth=path_depth,
-            sample_idx=sample_idx, pixel_sum=pixel_sum, counters=counters,
+            o=o, d=d, throughput=throughput, acc=acc, path_depth=path_depth,
+            sample_idx=sample_idx, slot=slot, slot_sums=slot_sums,
+            counters=counters,
         )
 
     final = jax.lax.while_loop(cond, body, state)
-    return final["pixel_sum"], final["counters"]
+    return final["slot_sums"], final["counters"]
 
 
-_wavefront_jit = jax.jit(wavefront_trace)
+_wavefront_jit = jax.jit(wavefront_trace, static_argnames=("n_slots",))
 
 
 def _counters_to_ints(counters: np.ndarray) -> list[int]:
@@ -323,17 +366,17 @@ def render(scene: Scene, camera: cam.Camera, params: RenderParams):
 
     Row 0 of the returned array is the image *bottom* (the reference's
     pixel buffer convention; the PNG writer flips, png_image.zig:136).
-    Images larger than ``params.max_wavefront`` pixels are traced tile by
-    tile over row bands; pixel ids stay global so RNG streams are
-    tiling-invariant.
+    Images with more pixels than ``params.max_wavefront`` assign several
+    strided pixels per lane (slots); pixel ids stay global so RNG streams
+    are layout-invariant.
     """
     import time
 
     t0 = time.perf_counter()
     w, h, spp = params.width, params.height, params.samples_per_pixel
     n_pixels = w * h
-    rows_per_tile = max(1, min(h, params.max_wavefront // w))
-    n_tiles = math.ceil(h / rows_per_tile)
+    n_lanes = min(n_pixels, params.max_wavefront)
+    n_slots = math.ceil(n_pixels / n_lanes)
 
     # BVH only pays off for larger scenes, same policy as the reference
     # (raytrace.zig:124-133: ">10 surfaces").
@@ -344,33 +387,16 @@ def render(scene: Scene, camera: cam.Camera, params: RenderParams):
         tri_bvh = build_tri_bvh(scene.tri_a, scene.tri_b, scene.tri_c)
 
     stats = RenderStats(pixels=n_pixels)
-    image = np.zeros((h, w, 3), np.float32)
-    totals = np.zeros((N_COUNTERS, 2), np.uint64)
-
     t1 = time.perf_counter()
-    for tile in range(n_tiles):
-        y0 = tile * rows_per_tile
-        y1 = min(h, y0 + rows_per_tile)
-        ids = jnp.arange(y0 * w, y1 * w, dtype=jnp.int32)
-        # Pad the last tile so every tile shares one compiled program.
-        n_lanes = rows_per_tile * w
-        pad = n_lanes - ids.shape[0]
-        if pad:
-            ids = jnp.concatenate([ids, jnp.full((pad,), y0 * w, jnp.int32)])
-        sums, counters = _wavefront_jit(
-            scene, camera, ids, params.seed, w, h, spp, params.max_depth,
-            0, tri_bvh,
-        )
-        sums = np.asarray(sums)
-        if pad:
-            sums = sums[: n_lanes - pad]
-            # Padded lanes duplicate pixel y0*w; their counter noise is
-            # negligible but we only fold in real-tile counters when unpadded.
-        image[y0:y1] = (sums / spp).reshape(y1 - y0, w, 3)
-        totals += np.asarray(counters, np.uint64)
-
-    image_np = image
-    jax.block_until_ready(jnp.zeros(()))
+    base = jnp.arange(n_lanes, dtype=jnp.int32)
+    sums, counters = _wavefront_jit(
+        scene, camera, base, params.seed, w, h, spp, params.max_depth,
+        0, tri_bvh, n_lanes, n_pixels, n_slots,
+    )
+    # pixel p lives at (slot p // n_lanes, lane p % n_lanes)
+    sums = np.asarray(sums).reshape(n_slots * n_lanes, 3)[:n_pixels]
+    image_np = (sums / spp).reshape(h, w, 3)
+    totals = np.asarray(counters, np.uint64)
     t2 = time.perf_counter()
 
     rays, refl, bg, rec, samples, iters = _counters_to_ints(totals)
