@@ -119,14 +119,28 @@ def intersect_spheres_fused(o, d, centers, radii, mat_ids, t_min, t_max):
     )
 
 
+def _safe_radius(radius):
+    """Keep 1/radius finite when an optimizer drives a radius through
+    zero mid-descent (sign preserved so inward normals stay inward)."""
+    return jnp.where(
+        jnp.abs(radius) > 1e-8, radius, jnp.where(radius < 0, -1e-8, 1e-8)
+    )
+
+
 def sphere_attributes(o, d, t, center, radius):
     """point/outward-normal/uv from the carried winner attributes
     (no index needed). Same math as sphere_surface."""
     point = vm.ray_at(o, d, t)
-    normal = (point - center) / radius[:, None]
+    normal = (point - center) / _safe_radius(radius)[:, None]
     ny = jnp.clip(normal[:, 1], -1.0 + 1e-7, 1.0 - 1e-7)
     theta = jnp.arccos(-ny)
-    phi = jnp.arctan2(-normal[:, 2], -normal[:, 0]) + jnp.pi
+    # atan2's gradient is NaN at exactly (0, 0) (sphere poles); nudge the
+    # x argument there — forward shift is below one texel.
+    nx = normal[:, 0]
+    nz = normal[:, 2]
+    pole = (jnp.abs(nx) + jnp.abs(nz)) < 1e-12
+    nx = jnp.where(pole, 1e-12, nx)
+    phi = jnp.arctan2(-nz, -nx) + jnp.pi
     uv = jnp.stack([phi / (2.0 * jnp.pi), theta / jnp.pi], axis=-1)
     return point, normal, uv
 
@@ -172,13 +186,19 @@ def sphere_surface(o, d, t, idx, centers, radii):
         center = centers[idx]
         radius = radii[idx]
     point = vm.ray_at(o, d, t)
-    normal = (point - center) / radius[:, None]
+    normal = (point - center) / _safe_radius(radius)[:, None]
     # Spherical texture coords (sphere.zig:47-51). The clip stays a hair
     # inside [-1, 1]: d(arccos) is infinite at the poles and would NaN
     # reverse-mode gradients; the forward shift is < 1e-3 rad at the exact
     # pole only (sub-texel).
     ny = jnp.clip(normal[:, 1], -1.0 + 1e-7, 1.0 - 1e-7)
     theta = jnp.arccos(-ny)
-    phi = jnp.arctan2(-normal[:, 2], -normal[:, 0]) + jnp.pi
+    # atan2's gradient is NaN at exactly (0, 0) (sphere poles); nudge the
+    # x argument there — forward shift is below one texel.
+    nx = normal[:, 0]
+    nz = normal[:, 2]
+    pole = (jnp.abs(nx) + jnp.abs(nz)) < 1e-12
+    nx = jnp.where(pole, 1e-12, nx)
+    phi = jnp.arctan2(-nz, -nx) + jnp.pi
     uv = jnp.stack([phi / (2.0 * jnp.pi), theta / jnp.pi], axis=-1)
     return point, normal, uv

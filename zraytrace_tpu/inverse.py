@@ -60,6 +60,37 @@ def make_loss_fn(static, camera, target, width, height, spp, max_depth, seed=42)
     return loss_fn
 
 
+def fd_gradients(loss_fn, params: dict, fields: tuple, eps: float = 2e-3) -> dict:
+    """Exact central-difference gradients for a few low-dimensional fields.
+
+    Analytic reverse-mode gradients capture shading but NOT visibility/
+    silhouette coverage (moving a sphere changes which pixels it covers —
+    a discontinuous integrand; SURVEY.md §7.7). Because the stateless RNG
+    makes ``loss_fn`` deterministic, central differences over the SAME
+    sample streams measure the true derivative including coverage, at a
+    cost of 2 renders per scalar — practical for sphere centers/radii or
+    pose parameters, not for vertex/texel arrays.
+    """
+    import numpy as np
+
+    grads = {}
+    for f in fields:
+        arr = np.asarray(params[f])
+        flat = arr.ravel().astype(np.float64)
+        g = np.zeros_like(flat)
+        for i in range(flat.size):
+            for sign in (+1.0, -1.0):
+                p = flat.copy()
+                p[i] += sign * eps
+                val = float(
+                    loss_fn({**params, f: jnp.asarray(p.reshape(arr.shape), jnp.float32)})
+                )
+                g[i] += sign * val
+            g[i] /= 2.0 * eps
+        grads[f] = jnp.asarray(g.reshape(arr.shape), jnp.float32)
+    return grads
+
+
 class FitResult(NamedTuple):
     scene: Scene
     losses: jnp.ndarray
@@ -77,11 +108,17 @@ def fit(
     learning_rate: float = 1e-2,
     seed: int = 42,
     optimize_fields: tuple = DIFF_FIELDS,
+    fd_fields: tuple = (),
 ) -> FitResult:
     """Gradient-descend scene parameters toward a target image.
 
     ``optimize_fields`` restricts which leaves move (e.g. only
     ``("sph_center", "sph_radius")`` for geometry recovery).
+
+    ``fd_fields``: subset of optimize_fields whose gradients come from
+    correlated finite differences instead of autodiff — required for
+    parameters whose image effect is dominated by visibility coverage
+    (sphere centers/radii, poses). See ``fd_gradients``.
     """
     params, static = split_scene(scene_init)
     target = jnp.asarray(target, jnp.float32)
@@ -94,19 +131,20 @@ def fit(
     )
     opt_state = optimizer.init(params)
     loss_fn = make_loss_fn(static, camera, target, width, height, spp, max_depth, seed)
+    loss_jit = jax.jit(loss_fn)
+    vg_jit = jax.jit(jax.value_and_grad(loss_fn))
 
     @jax.jit
-    def step(params, opt_state, i):
-        # Vary the seed per step: fresh sample streams decorrelate the MC
-        # gradient noise across steps (stochastic gradient descent).
-        loss, grads = jax.value_and_grad(loss_fn)(params)
+    def apply(params, opt_state, grads):
         updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
+        return optax.apply_updates(params, updates), opt_state
 
     losses = []
     for i in range(steps):
-        params, opt_state, loss = step(params, opt_state, i)
+        loss, grads = vg_jit(params)
+        if fd_fields:
+            grads = {**grads, **fd_gradients(loss_jit, params, fd_fields)}
+        params, opt_state = apply(params, opt_state, grads)
         losses.append(loss)
     return FitResult(merge_scene(params, static), jnp.stack(losses))
 

@@ -69,7 +69,13 @@ def refract(v: jnp.ndarray, n: jnp.ndarray, ratio: jnp.ndarray) -> jnp.ndarray:
     ratio = jnp.asarray(ratio)[..., None]
     cos_theta = jnp.minimum(dot(-v, n), 1.0)[..., None]
     r_out_perp = ratio * (v + cos_theta * n)
-    r_out_parallel = -jnp.sqrt(jnp.abs(1.0 - length_squared(r_out_perp)))[..., None] * n
+    # |1 - |perp|^2| rounds to exactly 0 for grazing rays in f32; the
+    # double-where keeps d(sqrt)/dx finite there so unselected dielectric
+    # branches cannot NaN-poison reverse-mode gradients.
+    k = jnp.abs(1.0 - length_squared(r_out_perp))
+    pos = k > 0.0
+    root = jnp.where(pos, jnp.sqrt(jnp.where(pos, k, 1.0)), 0.0)
+    r_out_parallel = -root[..., None] * n
     return r_out_perp + r_out_parallel
 
 
