@@ -306,7 +306,32 @@ def bvh_closest_triangle(bvh: TriBVH, a, b, c, o, d, t_min, t_max):
 
     n = o.shape[0]
     M = bvh.n_nodes
+    T = a_s.shape[0]
     inv_d = 1.0 / jnp.where(jnp.abs(d_s) > 1e-20, d_s, 1e-20)
+
+    # TPU gathers cost per ROW, nearly independent of row width
+    # (tools/gather_probe*.py), so the node attributes pack into one
+    # (M, 9) table and the leaf primitives into one (T, 10) table in
+    # prim_order — one row gather per traversal step plus LEAF_SIZE row
+    # gathers at leaves, instead of ~10 scalar gathers.
+    nodes_packed = jnp.concatenate(
+        [
+            bvh_s.node_min,
+            bvh_s.node_max,
+            bvh_s.skip.astype(jnp.float32)[:, None],
+            bvh_s.prim_count.astype(jnp.float32)[:, None],
+            bvh_s.prim_start.astype(jnp.float32)[:, None],
+        ],
+        axis=1,
+    )  # (M, 9)
+    order = bvh_s.prim_order
+    prims_packed = jnp.concatenate(
+        [
+            a_s[order], b_s[order], c_s[order],
+            order.astype(jnp.float32)[:, None],
+        ],
+        axis=1,
+    )  # (T, 10) in leaf order
 
     state = dict(
         node=jnp.zeros((n,), jnp.int32),
@@ -321,12 +346,14 @@ def bvh_closest_triangle(bvh: TriBVH, a, b, c, o, d, t_min, t_max):
     def body(s):
         node = jnp.minimum(s["node"], M - 1)  # clamp for safe gathers
         active = s["node"] < M
-        bmin = bvh_s.node_min[node]
-        bmax = bvh_s.node_max[node]
+        nrow = nodes_packed[node]  # (N, 9) — one row gather
+        bmin = nrow[:, 0:3]
+        bmax = nrow[:, 3:6]
+        skip = nrow[:, 6].astype(jnp.int32)
+        count = nrow[:, 7].astype(jnp.int32)
+        start = nrow[:, 8].astype(jnp.int32)
         box_hit = active & _slab_test(o_s, inv_d, bmin, bmax, t_min, s["t"])
 
-        count = bvh_s.prim_count[node]
-        start = bvh_s.prim_start[node]
         is_leaf = count > 0
 
         t_best = s["t"]
@@ -334,17 +361,17 @@ def bvh_closest_triangle(bvh: TriBVH, a, b, c, o, d, t_min, t_max):
         found = s["found"]
         do_leaf = box_hit & is_leaf
         for k in range(LEAF_SIZE):
-            prim = bvh_s.prim_order[jnp.minimum(start + k, a_s.shape[0] - 1)]
-            tk, _, _, hk = _tri_hit_one(
-                o_s, d_s, a_s[prim], b_s[prim], c_s[prim], t_min, t_best
-            )
+            prow = prims_packed[jnp.minimum(start + k, T - 1)]  # (N, 10)
+            av, bv, cv = prow[:, 0:3], prow[:, 3:6], prow[:, 6:9]
+            prim = prow[:, 9].astype(jnp.int32)
+            tk, _, _, hk = _tri_hit_one(o_s, d_s, av, bv, cv, t_min, t_best)
             take = do_leaf & (k < count) & hk & (tk < t_best)
             t_best = jnp.where(take, tk, t_best)
             idx_best = jnp.where(take, prim, idx_best)
             found = found | take
 
         descend = box_hit & ~is_leaf
-        nxt = jnp.where(descend, node + 1, bvh_s.skip[node])
+        nxt = jnp.where(descend, node + 1, skip)
         nxt = jnp.where(active, nxt, M)
         return dict(node=nxt, t=t_best, idx=idx_best, found=found)
 
