@@ -20,6 +20,14 @@ def enable_compilation_cache(path: str | None = None) -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
+def enable_debug_nans() -> None:
+    """Opt-in NaN trapping (SURVEY.md §5: replaces the reference's Zig
+    safe-build UB checks). Also honored via ZRAYTRACE_DEBUG_NANS=1."""
+    import jax
+
+    jax.config.update("jax_debug_nans", True)
+
+
 def force_cpu() -> None:
     """Run on the host CPU even when a TPU plugin force-registered itself
     (the environment's sitecustomize sets jax_platforms='axon,cpu')."""
