@@ -86,6 +86,39 @@ def _normalize(x, y, z):
     return x * inv, y * inv, z * inv
 
 
+def _atan_core(z):
+    """atan for |z| <= 1, Cephes atanf minimax polynomial (~2 ulp f32)."""
+    z2 = z * z
+    p = jnp.float32(8.05374449538e-2)
+    p = p * z2 - jnp.float32(1.38776856032e-1)
+    p = p * z2 + jnp.float32(1.99777106478e-1)
+    p = p * z2 - jnp.float32(3.33329491539e-1)
+    return p * z2 * z + z
+
+
+def _atan2(y, x):
+    """atan2 built from the poly core (Mosaic has no inverse trig).
+
+    Accuracy ~1e-7 rad; the only consumer is the spherical-uv texel
+    index, where this is far below one texel."""
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    big = ay > ax
+    num = jnp.where(big, ax, ay)
+    den = jnp.where(big, ay, ax)
+    den = jnp.where(den > 0.0, den, 1.0)  # (0,0) -> 0
+    a = _atan_core(num / den)
+    a = jnp.where(big, jnp.float32(np.pi / 2) - a, a)
+    a = jnp.where(x < 0.0, jnp.float32(np.pi) - a, a)
+    return jnp.where(y < 0.0, -a, a)
+
+
+def _acos(x):
+    """acos via atan2(sqrt(1-x^2), x); |x| must be < 1 (callers clip)."""
+    s = jnp.sqrt(jnp.maximum(0.0, (1.0 - x) * (1.0 + x)))
+    return _atan2(s, x)
+
+
 def _uniform4(seed_c, pix, samp, dep):
     """pcg4d over (R,128) int32 lanes -> four U[0,1) floats."""
     u = lambda v: v.astype(jnp.uint32)
@@ -200,12 +233,12 @@ def make_bounce_kernel(n_spheres: int, n_mats: int, shape):
         nx, ny, nz = nx * fsign, ny * fsign, nz * fsign
         # spherical uv (sphere.zig:47-51) on the outward normal
         ony = jnp.clip(ny * fsign, -1.0 + 1e-7, 1.0 - 1e-7)
-        theta = jnp.arccos(-ony)
+        theta = _acos(-ony)
         onx = nx * fsign
         onz = nz * fsign
         pole = (jnp.abs(onx) + jnp.abs(onz)) < 1e-12
         onx = jnp.where(pole, 1e-12, onx)
-        phi = jnp.arctan2(-onz, -onx) + jnp.float32(np.pi)
+        phi = _atan2(-onz, -onx) + jnp.float32(np.pi)
         uu_ = phi * jnp.float32(1.0 / (2.0 * np.pi))
         vv_ = theta * jnp.float32(1.0 / np.pi)
 
