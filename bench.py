@@ -8,7 +8,9 @@ speedup over that ray rate.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Env knobs: ZRAYTRACE_BENCH_SPP / _SIZE / _DEPTH (defaults 1000/1000/30).
+Env knobs: ZRAYTRACE_BENCH_SPP / _SIZE / _DEPTH (defaults 1000/1000/30),
+ZRAYTRACE_BENCH_SCENE (default 1 = threeBalls; 3 = teapot runs the
+reference's mesh benchmark config 700x700x500@20, scenes.zig:130-166).
 """
 
 import json
@@ -17,12 +19,19 @@ import sys
 import time
 
 REF_RAYS_PER_SEC = 2_144_645_362 / 617.41  # ~3.474e6 (README.md:58,61)
+# Teapot mesh scene: 425,784,511 rays / 36,069 s (scenes.zig:161-164)
+REF_TEAPOT_RAYS_PER_SEC = 425_784_511 / 36_069.0
 
 
 def main() -> int:
-    size = int(os.environ.get("ZRAYTRACE_BENCH_SIZE", "1000"))
-    spp = int(os.environ.get("ZRAYTRACE_BENCH_SPP", "1000"))
-    depth = int(os.environ.get("ZRAYTRACE_BENCH_DEPTH", "30"))
+    scene_idx = int(os.environ.get("ZRAYTRACE_BENCH_SCENE", "1"))
+    if scene_idx == 3:
+        size_d, spp_d, depth_d = "700", "500", "20"
+    else:
+        size_d, spp_d, depth_d = "1000", "1000", "30"
+    size = int(os.environ.get("ZRAYTRACE_BENCH_SIZE", size_d))
+    spp = int(os.environ.get("ZRAYTRACE_BENCH_SPP", spp_d))
+    depth = int(os.environ.get("ZRAYTRACE_BENCH_DEPTH", depth_d))
 
     from zraytrace_tpu.runtime import enable_compilation_cache
 
@@ -32,10 +41,15 @@ def main() -> int:
     import jax.numpy as jnp
 
     from zraytrace_tpu.render import _counters_to_ints, _wavefront_jit, C_ITERS, C_RAYS
-    from zraytrace_tpu.scenes import three_balls
+    from zraytrace_tpu.scenes import build_scene
 
-    built = three_balls()
+    built = build_scene(scene_idx)
     scene, camera = built.scene, built.camera
+    tri_bvh = None
+    if scene.n_triangles > 10:
+        from zraytrace_tpu.geometry.bvh import build_tri_bvh
+
+        tri_bvh = build_tri_bvh(scene.tri_a, scene.tri_b, scene.tri_c)
     n_pixels = size * size
     n_lanes = min(
         n_pixels, int(os.environ.get("ZRAYTRACE_BENCH_LANES", str(1 << 18)))
@@ -46,7 +60,7 @@ def main() -> int:
     def run(n_samples, sample_start=0):
         sums, counters = _wavefront_jit(
             scene, camera, ids, 42, size, size, n_samples, depth,
-            sample_start, None, n_lanes, n_pixels, n_slots,
+            sample_start, tri_bvh, n_lanes, n_pixels, n_slots,
         )
         jax.block_until_ready(counters)
         # force a real sync through the relay (block_until_ready on its
@@ -74,13 +88,19 @@ def main() -> int:
         f"device={jax.devices()[0].device_kind}",
         file=sys.stderr,
     )
+    if scene_idx == 3:
+        metric = "rays_per_second_teapot_700x700"
+        baseline = REF_TEAPOT_RAYS_PER_SEC
+    else:
+        metric = "rays_per_second_7spheres_1000x1000"
+        baseline = REF_RAYS_PER_SEC
     print(
         json.dumps(
             {
-                "metric": "rays_per_second_7spheres_1000x1000",
+                "metric": metric,
                 "value": rays_per_sec,
                 "unit": "rays/s/chip",
-                "vs_baseline": rays_per_sec / REF_RAYS_PER_SEC,
+                "vs_baseline": rays_per_sec / baseline,
             }
         )
     )

@@ -130,11 +130,22 @@ def _uniform4(seed_c, pix, samp, dep):
     return f(0), f(1), f(2), f(3)
 
 
+# Lane rows per grid block: bounds the kernel's scoped-VMEM stack (the
+# straight-line body holds many live (R,128) temporaries; 64 rows needs
+# ~24 MB, above the 16 MB default scoped limit, hence CompilerParams).
+R_BLK = 64
+VMEM_LIMIT = 100 * 1024 * 1024
+
+
 def make_bounce_kernel(n_spheres: int, n_mats: int, shape):
     """Build the pallas_call for a given sphere/material count and lane
-    shape (R, 128). All counts are static (unrolled loops)."""
-    R, L = shape
+    shape (R, 128), gridded over R_BLK-row lane blocks. All counts are
+    static (unrolled loops)."""
+    R_total, L = shape
     assert L == LANE
+    assert R_total % R_BLK == 0 or R_total < R_BLK, R_total
+    R = min(R_BLK, R_total)
+    n_blocks = -(-R_total // R)
 
     def kernel(
         # scalar-prefetch / SMEM inputs
@@ -185,12 +196,13 @@ def make_bounce_kernel(n_spheres: int, n_mats: int, shape):
         BIG = jnp.float32(3.4e38)
         o_dot_d = _dot(ox, oy, oz, dx, dy, dz)
         o_sq = _dot(ox, oy, oz, ox, oy, oz)
-        t_best = jnp.full((R, L), BIG)
-        cxs = jnp.zeros((R, L), jnp.float32)
-        cys = jnp.zeros((R, L), jnp.float32)
-        czs = jnp.zeros((R, L), jnp.float32)
-        rs = jnp.ones((R, L), jnp.float32)
-        ms = jnp.zeros((R, L), jnp.int32)
+        blk = pix_ref.shape
+        t_best = jnp.full(blk, BIG)
+        cxs = jnp.zeros(blk, jnp.float32)
+        cys = jnp.zeros(blk, jnp.float32)
+        czs = jnp.zeros(blk, jnp.float32)
+        rs = jnp.ones(blk, jnp.float32)
+        ms = jnp.zeros(blk, jnp.int32)
         t_min = jnp.float32(1e-3)
         for s in range(n_spheres):
             cx = sph_ref[s, 0]
@@ -248,7 +260,7 @@ def make_bounce_kernel(n_spheres: int, n_mats: int, shape):
         r0_, r1_, r2_, _ = _uniform4(seed_c, pixel, samp, dep)
 
         def sel(col):
-            out = jnp.zeros((R, L), jnp.float32)
+            out = jnp.zeros(blk, jnp.float32)
             for m in range(n_mats):
                 out = jnp.where(ms == m, mat_ref[m, col], out)
             return out
@@ -424,33 +436,40 @@ def make_bounce_kernel(n_spheres: int, n_mats: int, shape):
         texneed_o[:] = texneed.astype(jnp.int32)
 
         cnt = lambda m: jnp.sum(m.astype(jnp.int32))
-        counts_o[0] = cnt(processing)
-        counts_o[1] = cnt(scattered)
-        counts_o[2] = cnt(miss)
-        counts_o[3] = cnt(exhausted)
-        counts_o[4] = cnt(path_done)
-        counts_o[5] = jnp.int32(1)
-        counts_o[6] = cnt(texneed)
-        counts_o[7] = jnp.int32(0)
+        counts_o[0, 0] = cnt(processing)
+        counts_o[0, 1] = cnt(scattered)
+        counts_o[0, 2] = cnt(miss)
+        counts_o[0, 3] = cnt(exhausted)
+        counts_o[0, 4] = cnt(path_done)
+        counts_o[0, 5] = jnp.int32(1)
+        counts_o[0, 6] = cnt(texneed)
+        counts_o[0, 7] = jnp.int32(0)
 
     f32 = jnp.float32
     i32 = jnp.int32
-    st = lambda dt: jax.ShapeDtypeStruct((R, L), dt)
+    st = lambda dt: jax.ShapeDtypeStruct((R_total, L), dt)
     out_shape = (
         [st(f32)] * 12 + [st(i32)] * 3
         + [st(i32), st(i32)]
         + [st(i32), st(i32), st(f32), st(f32), st(f32)]
-        + [jax.ShapeDtypeStruct((N_COUNTS,), i32)]
+        + [jax.ShapeDtypeStruct((n_blocks, N_COUNTS), i32)]
     )
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
-    vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
-    in_specs = [smem(), smem(), smem(), smem()] + [vmem()] * 16
-    out_specs = tuple([vmem()] * 22 + [smem()])
+    lane_blk = lambda: pl.BlockSpec((R, L), lambda i: (i, 0),
+                                    memory_space=pltpu.VMEM)
+    in_specs = [smem(), smem(), smem(), smem()] + [lane_blk()] * 16
+    out_specs = tuple(
+        [lane_blk()] * 22
+        + [pl.BlockSpec((1, N_COUNTS), lambda i: (i, 0),
+                        memory_space=pltpu.SMEM)]
+    )
     return pl.pallas_call(
         kernel,
+        grid=(n_blocks,),
         out_shape=tuple(out_shape),
         in_specs=in_specs,
         out_specs=out_specs,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         interpret=_interpret_mode(),
     )
 
@@ -566,9 +585,12 @@ def wavefront_trace_pallas(
             slot_sums = slot_sums.at[k].set(slot_sums[k] + add)
 
         counters = s["counters"]
+        totals = counts.sum(axis=0)  # (N_COUNTS,) over lane blocks
+        # the iteration counter is per-block 1; count once
+        totals = totals.at[5].set(jnp.int32(1))
         for slot_i in range(6):
             counters = counters.at[slot_i].set(
-                _u64_add(counters[slot_i], counts[slot_i].astype(jnp.uint32))
+                _u64_add(counters[slot_i], totals[slot_i].astype(jnp.uint32))
             )
 
         return dict(
