@@ -436,14 +436,15 @@ def make_bounce_kernel(n_spheres: int, n_mats: int, shape):
         texneed_o[:] = texneed.astype(jnp.int32)
 
         cnt = lambda m: jnp.sum(m.astype(jnp.int32))
-        counts_o[0, 0] = cnt(processing)
-        counts_o[0, 1] = cnt(scattered)
-        counts_o[0, 2] = cnt(miss)
-        counts_o[0, 3] = cnt(exhausted)
-        counts_o[0, 4] = cnt(path_done)
-        counts_o[0, 5] = jnp.int32(1)
-        counts_o[0, 6] = cnt(texneed)
-        counts_o[0, 7] = jnp.int32(0)
+        blk_i = pl.program_id(0)
+        counts_o[blk_i, 0] = cnt(processing)
+        counts_o[blk_i, 1] = cnt(scattered)
+        counts_o[blk_i, 2] = cnt(miss)
+        counts_o[blk_i, 3] = cnt(exhausted)
+        counts_o[blk_i, 4] = cnt(path_done)
+        counts_o[blk_i, 5] = jnp.int32(1)
+        counts_o[blk_i, 6] = cnt(texneed)
+        counts_o[blk_i, 7] = jnp.int32(0)
 
     f32 = jnp.float32
     i32 = jnp.int32
@@ -460,8 +461,9 @@ def make_bounce_kernel(n_spheres: int, n_mats: int, shape):
     in_specs = [smem(), smem(), smem(), smem()] + [lane_blk()] * 16
     out_specs = tuple(
         [lane_blk()] * 22
-        + [pl.BlockSpec((1, N_COUNTS), lambda i: (i, 0),
-                        memory_space=pltpu.SMEM)]
+        # counters: whole (n_blocks, 8) SMEM buffer, each grid step
+        # writes its own row (blocked specs need 8/128-divisible tiles)
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)]
     )
     return pl.pallas_call(
         kernel,
