@@ -46,7 +46,8 @@ def main() -> int:
     built = build_scene(scene_idx)
     scene, camera = built.scene, built.camera
     tri_bvh = None
-    if scene.n_triangles > 10:
+    use_bvh = os.environ.get("ZRAYTRACE_BENCH_BVH", "1") == "1"
+    if use_bvh and scene.n_triangles > 10:
         from zraytrace_tpu.geometry.bvh import build_tri_bvh
 
         tri_bvh = build_tri_bvh(scene.tri_a, scene.tri_b, scene.tri_c)
@@ -73,9 +74,23 @@ def main() -> int:
     run(1)
     compile_s = time.time() - t0
 
+    # Long executions can exceed the device relay's deadline; chunk the
+    # sample range into several calls (streams are keyed by absolute
+    # sample index, so chunking does not change the result).
+    chunk = int(os.environ.get(
+        "ZRAYTRACE_BENCH_CHUNK_SPP", "25" if scene_idx == 3 else "0")) or spp
+    import numpy as _np
+
+    totals = _np.zeros((6, 2), _np.uint64)
     t0 = time.time()
-    sums, counters = run(spp, sample_start=1)
+    done = 1  # skip the warm-up sample index for stream freshness
+    while done < 1 + spp:
+        step = min(chunk, 1 + spp - done)
+        sums, counters = run(step, sample_start=done)
+        totals += _np.asarray(counters, _np.uint64)
+        done += step
     elapsed = time.time() - t0
+    counters = totals
 
     ints = _counters_to_ints(__import__("numpy").asarray(counters))
     rays, iters = ints[C_RAYS], ints[C_ITERS]
