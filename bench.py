@@ -45,8 +45,13 @@ def main() -> int:
 
     built = build_scene(scene_idx)
     scene, camera = built.scene, built.camera
+    # auto: brute matmul below the TPU BVH crossover (PERF.md)
+    env_bvh = os.environ.get("ZRAYTRACE_BENCH_BVH", "auto")
+    if env_bvh == "auto":
+        use_bvh = scene.n_triangles > 30000
+    else:
+        use_bvh = env_bvh == "1"
     tri_bvh = None
-    use_bvh = os.environ.get("ZRAYTRACE_BENCH_BVH", "1") == "1"
     if use_bvh and scene.n_triangles > 10:
         from zraytrace_tpu.geometry.bvh import build_tri_bvh
 

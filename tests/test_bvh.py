@@ -144,7 +144,8 @@ class TestRenderWithBVH:
         built = build_scene(3)
         base = dict(width=8, height=8, samples_per_pixel=2, max_depth=3)
         img_bvh, stats_bvh = render(built.scene, built.camera,
-                                    RenderParams(**base, bvh=True))
+                                    RenderParams(**base, bvh=True,
+                                                 bvh_min_triangles=1))
         img_brute, stats_brute = render(built.scene, built.camera,
                                         RenderParams(**base, bvh=False))
         np.testing.assert_allclose(img_bvh, img_brute, atol=1e-5)

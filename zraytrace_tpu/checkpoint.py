@@ -121,11 +121,9 @@ def render_checkpointed(
         counters = np.zeros((N_COUNTERS, 2), np.uint64)
         done = 0
 
-    tri_bvh = None
-    if params.bvh and scene.n_triangles > 10:
-        from zraytrace_tpu.geometry.bvh import build_tri_bvh
+    from zraytrace_tpu.render import maybe_build_bvh
 
-        tri_bvh = build_tri_bvh(scene.tri_a, scene.tri_b, scene.tri_c)
+    tri_bvh = maybe_build_bvh(scene, params)
 
     ids = jnp.arange(n, dtype=jnp.int32)
     t0 = time.perf_counter()

@@ -41,6 +41,13 @@ class RenderParams:
     max_wavefront: int = 1 << 20
     # Use the Pallas megakernel path when available (else pure-XLA wavefront).
     use_pallas: bool = False
+    # Minimum triangle count before the BVH pays off. Counterintuitive
+    # TPU result (PERF.md): random-index gathers cost ~5ns/row, so the
+    # gather-bound stackless traversal loses to brute-force chunked
+    # matmul intersection (MXU + streaming reads) until ~50-100k
+    # triangles. The reference's own threshold is 10 surfaces
+    # (raytrace.zig:127) — correct for a scalar CPU, wrong for a TPU.
+    bvh_min_triangles: int = 30000
 
     def __post_init__(self):
         if self.width <= 0 or self.height <= 0:

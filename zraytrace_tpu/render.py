@@ -361,6 +361,19 @@ def _counters_to_ints(counters: np.ndarray) -> list[int]:
     return [int(hi) * (1 << 32) + int(lo) for hi, lo in counters]
 
 
+def maybe_build_bvh(scene: Scene, params: RenderParams):
+    """BVH build policy. The reference enables it above 10 surfaces
+    (raytrace.zig:124-133); on TPU the gather-bound traversal only beats
+    brute-force matmul intersection for much larger meshes
+    (params.bvh_min_triangles; see PERF.md), so the threshold is a
+    RenderParams knob."""
+    if params.bvh and scene.n_triangles > params.bvh_min_triangles:
+        from zraytrace_tpu.geometry.bvh import build_tri_bvh
+
+        return build_tri_bvh(scene.tri_a, scene.tri_b, scene.tri_c)
+    return None
+
+
 def render(scene: Scene, camera: cam.Camera, params: RenderParams):
     """Render a full image. Returns ``(image (H, W, 3) f32, RenderStats)``.
 
@@ -378,13 +391,7 @@ def render(scene: Scene, camera: cam.Camera, params: RenderParams):
     n_lanes = min(n_pixels, params.max_wavefront)
     n_slots = math.ceil(n_pixels / n_lanes)
 
-    # BVH only pays off for larger scenes, same policy as the reference
-    # (raytrace.zig:124-133: ">10 surfaces").
-    tri_bvh = None
-    if params.bvh and scene.n_triangles > 10:
-        from zraytrace_tpu.geometry.bvh import build_tri_bvh
-
-        tri_bvh = build_tri_bvh(scene.tri_a, scene.tri_b, scene.tri_c)
+    tri_bvh = maybe_build_bvh(scene, params)
 
     stats = RenderStats(pixels=n_pixels)
     t1 = time.perf_counter()
