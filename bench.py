@@ -57,8 +57,10 @@ def main() -> int:
 
         tri_bvh = build_tri_bvh(scene.tri_a, scene.tri_b, scene.tri_c)
     n_pixels = size * size
+    # 2^17 lanes x 8 slots measured best: occupancy waste ~2.10
+    # lane-steps/ray, near the 2.14 rays/sample floor (PERF.md).
     n_lanes = min(
-        n_pixels, int(os.environ.get("ZRAYTRACE_BENCH_LANES", str(1 << 18)))
+        n_pixels, int(os.environ.get("ZRAYTRACE_BENCH_LANES", str(1 << 17)))
     )
     n_slots = -(-n_pixels // n_lanes)
     ids = jnp.arange(n_lanes, dtype=jnp.int32)

@@ -61,6 +61,22 @@ def test_kernel_multi_slot():
     _assert_images_close(sx, sp)
 
 
+def test_render_use_pallas_flag():
+    """render(use_pallas=True) routes sphere-only scenes through the
+    kernel and matches the XLA result."""
+    from zraytrace_tpu.config import RenderParams
+    from zraytrace_tpu.render import render
+
+    built = three_balls()
+    base = dict(width=16, height=16, samples_per_pixel=2, max_depth=4)
+    img_x, st_x = render(built.scene, built.camera, RenderParams(**base))
+    img_p, st_p = render(built.scene, built.camera,
+                         RenderParams(**base, use_pallas=True))
+    assert st_x.rays == st_p.rays
+    assert st_x.samples == st_p.samples
+    _assert_images_close(img_x, img_p)
+
+
 def test_kernel_sample_offset():
     built = three_balls()
     base = jnp.arange(128, dtype=jnp.int32)

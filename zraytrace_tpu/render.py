@@ -396,10 +396,24 @@ def render(scene: Scene, camera: cam.Camera, params: RenderParams):
     stats = RenderStats(pixels=n_pixels)
     t1 = time.perf_counter()
     base = jnp.arange(n_lanes, dtype=jnp.int32)
-    sums, counters = _wavefront_jit(
-        scene, camera, base, params.seed, w, h, spp, params.max_depth,
-        0, tri_bvh, n_lanes, n_pixels, n_slots,
+    use_pallas = (
+        params.use_pallas
+        and scene.n_triangles == 0
+        and scene.n_spheres > 0
+        and n_lanes % 128 == 0
     )
+    if use_pallas:
+        from zraytrace_tpu.ops.bounce_kernel import _wavefront_pallas_jit
+
+        sums, counters = _wavefront_pallas_jit(
+            scene, camera, base, params.seed, w, h, spp, params.max_depth,
+            0, n_slots, n_lanes, n_pixels,
+        )
+    else:
+        sums, counters = _wavefront_jit(
+            scene, camera, base, params.seed, w, h, spp, params.max_depth,
+            0, tri_bvh, n_lanes, n_pixels, n_slots,
+        )
     # pixel p lives at (slot p // n_lanes, lane p % n_lanes)
     sums = np.asarray(sums).reshape(n_slots * n_lanes, 3)[:n_pixels]
     image_np = (sums / spp).reshape(h, w, 3)
