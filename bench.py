@@ -56,6 +56,12 @@ def main() -> int:
         from zraytrace_tpu.geometry.bvh import build_tri_bvh
 
         tri_bvh = build_tri_bvh(scene.tri_a, scene.tri_b, scene.tri_c)
+    tri_flash = None
+    if (tri_bvh is None and scene.n_triangles > 0
+            and os.environ.get("ZRAYTRACE_BENCH_FLASH", "1") == "1"):
+        from zraytrace_tpu.ops.flash_intersect import pack_tri_planes
+
+        tri_flash = pack_tri_planes(scene.tri_a, scene.tri_b, scene.tri_c)
     n_pixels = size * size
     # 2^17 lanes x 8 slots measured best: occupancy waste ~2.10
     # lane-steps/ray, near the 2.14 rays/sample floor (PERF.md).
@@ -68,7 +74,7 @@ def main() -> int:
     def run(n_samples, sample_start=0):
         sums, counters = _wavefront_jit(
             scene, camera, ids, 42, size, size, n_samples, depth,
-            sample_start, tri_bvh, n_lanes, n_pixels, n_slots,
+            sample_start, tri_bvh, n_lanes, n_pixels, n_slots, tri_flash,
         )
         jax.block_until_ready(counters)
         # force a real sync through the relay (block_until_ready on its

@@ -1,0 +1,189 @@
+"""Flash-style streaming triangle intersection (Pallas TPU).
+
+The XLA brute-force path materializes (N, C) matmul outputs in HBM
+(hundreds of MB per buffer at wavefront sizes); this kernel streams
+triangle chunks through VMEM with a running per-ray winner — the
+flash-attention structure applied to closest-hit:
+
+- rays live on SUBLANES: a grid block processes (R_rays, 128-tri-chunk)
+  tiles entirely in VMEM/registers,
+- triangles live on LANES: per-triangle constants are laid out as
+  (n_chunks, 128) component planes, so every term of the determinant
+  form (triangle.zig:48-71 via the scalar-triple-product decomposition,
+  geometry/triangle.py) is a rank-1 broadcast multiply — pure VPU, no
+  MXU needed at K=3, no gathers anywhere,
+- outputs one packed (R, 8) row per ray: [t, u, v, idx, hit, ...].
+
+Semantics match intersect_triangles exactly (same one-sidedness, same
+first-wins tie-break via argmin over ascending triangle ids).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from zraytrace_tpu import vecmath as vm
+
+# plain python floats: jnp scalars would be captured device constants,
+# which pallas kernels reject
+_BIG = 3.4e38
+DET_EPS = 1e-6
+
+LANE = 128
+R_RAYS = 512  # rays (sublanes) per grid block
+
+# packed triangle component planes, each (n_chunks, 128):
+# e1(3) e2(3) fn(3) e2xa(3) e1xa(3) a_dot_fn(1) valid(1)
+N_COMP = 17
+
+
+class TriPlanes(NamedTuple):
+    planes: jnp.ndarray  # (N_COMP, n_chunks, 128) f32
+    n_tris: int
+
+
+def pack_tri_planes(a, b, c) -> TriPlanes:
+    """Host/trace-time packing of per-triangle constants into lane
+    planes. Padding triangles have valid=0 (and fn=0 => det=0)."""
+    T = a.shape[0]
+    n_chunks = -(-T // LANE)
+    pad = n_chunks * LANE - T
+    def p3(x):
+        return jnp.concatenate([x, jnp.zeros((pad, 3), x.dtype)], axis=0)
+
+    a_, b_, c_ = p3(a), p3(b), p3(c)
+    e1 = b_ - a_
+    e2 = c_ - a_
+    fn = vm.cross(e1, e2)
+    e2xa = vm.cross(e2, a_)
+    e1xa = vm.cross(e1, a_)
+    adf = vm.dot(a_, fn)
+    valid = jnp.concatenate(
+        [jnp.ones((T,), jnp.float32), jnp.zeros((pad,), jnp.float32)]
+    )
+    comps = [e1[:, 0], e1[:, 1], e1[:, 2],
+             e2[:, 0], e2[:, 1], e2[:, 2],
+             fn[:, 0], fn[:, 1], fn[:, 2],
+             e2xa[:, 0], e2xa[:, 1], e2xa[:, 2],
+             e1xa[:, 0], e1xa[:, 1], e1xa[:, 2],
+             adf, valid]
+    planes = jnp.stack([comp.reshape(n_chunks, LANE) for comp in comps])
+    return TriPlanes(planes=planes, n_tris=T)
+
+
+def _kernel(planes_ref, o_ref, d_ref, tmin_ref, out_ref):
+    n_chunks = planes_ref.shape[1]
+    R = o_ref.shape[0]
+
+    ox = o_ref[:, 0:1]  # (R, 1) broadcast against (1, 128) tri planes
+    oy = o_ref[:, 1:2]
+    oz = o_ref[:, 2:3]
+    dx = d_ref[:, 0:1]
+    dy = d_ref[:, 1:2]
+    dz = d_ref[:, 2:3]
+    # o x d per ray
+    pxv = oy * dz - oz * dy
+    pyv = oz * dx - ox * dz
+    pzv = ox * dy - oy * dx
+    t_min = tmin_ref[0]
+
+    def chunk_body(ci, carry):
+        t_best, u_best, v_best, i_best = carry
+        pr = lambda k: planes_ref[k, ci, :][None, :]  # (1, 128)
+        e1x, e1y, e1z = pr(0), pr(1), pr(2)
+        e2x, e2y, e2z = pr(3), pr(4), pr(5)
+        fnx, fny, fnz = pr(6), pr(7), pr(8)
+        qax, qay, qaz = pr(9), pr(10), pr(11)  # e2 x a
+        rax, ray_, raz = pr(12), pr(13), pr(14)  # e1 x a
+        adf = pr(15)
+        valid = pr(16)
+
+        det = -(dx * fnx + dy * fny + dz * fnz)
+        safe = jnp.abs(det) > 1e-12
+        inv_det = 1.0 / jnp.where(safe, det, 1.0)
+        # u = (oxd).e2 - d.(e2 x a); v = -((oxd).e1 - d.(e1 x a))
+        u = (pxv * e2x + pyv * e2y + pzv * e2z
+             - (dx * qax + dy * qay + dz * qaz)) * inv_det
+        v = -(pxv * e1x + pyv * e1y + pzv * e1z
+              - (dx * rax + dy * ray_ + dz * raz)) * inv_det
+        t = (ox * fnx + oy * fny + oz * fnz - adf) * inv_det
+        is_hit = ((det >= DET_EPS) & (t > t_min) & (u >= 0.0) & (v >= 0.0)
+                  & (u + v <= 1.0) & (valid > 0.5))
+        t = jnp.where(is_hit, t, _BIG)
+
+        tc = jnp.min(t, axis=1, keepdims=True)  # (R, 1)
+        lane_ids = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
+        first = t == tc  # may tie; argmin-by-lowest-lane below
+        lane_of_min = jnp.min(
+            jnp.where(first, lane_ids, jnp.int32(LANE)), axis=1, keepdims=True
+        )
+        sel = lane_ids == lane_of_min
+        pick = lambda x: jnp.sum(jnp.where(sel, x, 0.0), axis=1, keepdims=True)
+        uc = pick(u)
+        vc = pick(v)
+        ic = ci * LANE + lane_of_min
+
+        better = tc[:, 0] < t_best
+        t_best = jnp.where(better, tc[:, 0], t_best)
+        u_best = jnp.where(better, uc[:, 0], u_best)
+        v_best = jnp.where(better, vc[:, 0], v_best)
+        i_best = jnp.where(better, ic[:, 0], i_best)
+        return t_best, u_best, v_best, i_best
+
+    init = (
+        jnp.full((R,), _BIG),
+        jnp.zeros((R,), jnp.float32),
+        jnp.zeros((R,), jnp.float32),
+        jnp.zeros((R,), jnp.int32),
+    )
+    t_best, u_best, v_best, i_best = jax.lax.fori_loop(
+        0, n_chunks, chunk_body, init
+    )
+    hit = (t_best < _BIG).astype(jnp.float32)
+    out_ref[:] = jnp.stack(
+        [t_best, u_best, v_best, i_best.astype(jnp.float32), hit,
+         jnp.zeros_like(t_best), jnp.zeros_like(t_best), jnp.zeros_like(t_best)],
+        axis=-1,
+    )
+
+
+def flash_intersect_triangles(planes: TriPlanes, o, d, t_min):
+    """Closest triangle per ray; same contract as intersect_triangles:
+    returns (t (N,), idx (N,) i32, hit (N,) bool, uv (N,2)). N must be a
+    multiple of R_RAYS."""
+    n = o.shape[0]
+    assert n % R_RAYS == 0, n
+    n_blocks = n // R_RAYS
+    tmin_arr = jnp.full((1,), t_min, jnp.float32)
+
+    out = pl.pallas_call(
+        _kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # planes, full
+            pl.BlockSpec((R_RAYS, 3), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R_RAYS, 3), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((R_RAYS, 8), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, 8), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=jax.default_backend() == "cpu",
+    )(planes.planes, o, d, tmin_arr)
+
+    t = out[:, 0]
+    uv = out[:, 1:3]
+    idx = out[:, 3].astype(jnp.int32)
+    hit = out[:, 4] > 0.5
+    return t, idx, hit, uv

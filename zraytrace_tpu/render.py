@@ -79,7 +79,8 @@ def background_color(d: jnp.ndarray) -> jnp.ndarray:
     return (1.0 - t)[..., None] * white + t[..., None] * blue
 
 
-def trace_closest(scene: Scene, o, d, t_min=T_MIN, t_max=_BIG, tri_bvh=None):
+def trace_closest(scene: Scene, o, d, t_min=T_MIN, t_max=_BIG, tri_bvh=None,
+                  tri_flash=None):
     """Closest-hit query over all primitives.
 
     The reference's linear surface scan with t_max tightening
@@ -134,6 +135,10 @@ def trace_closest(scene: Scene, o, d, t_min=T_MIN, t_max=_BIG, tri_bvh=None):
         tt, ti, _, uv_t = bvh_closest_triangle(
             tri_bvh, scene.tri_a, scene.tri_b, scene.tri_c, o, d, t_min, _BIG
         )
+    elif tri_flash is not None and scene.n_triangles > 0 and n % 512 == 0:
+        from zraytrace_tpu.ops.flash_intersect import flash_intersect_triangles
+
+        tt, ti, _, uv_t = flash_intersect_triangles(tri_flash, o, d, t_min)
     else:
         tt, ti, _, uv_t = intersect_triangles(
             o, d, scene.tri_a, scene.tri_b, scene.tri_c, t_min, t_max
@@ -205,6 +210,7 @@ def wavefront_trace(
     pixel_stride=None,
     n_pixels=None,
     n_slots: int = 1,
+    tri_flash=None,
 ):
     """Trace samples ``[sample_start, sample_start + spp)`` for a set of
     pixels per lane. Returns (slot_sums (n_slots, N, 3), counters (6,2)).
@@ -276,7 +282,8 @@ def wavefront_trace(
         exhausted = active & (s["path_depth"] >= max_depth)
         processing = active & ~exhausted
 
-        h = trace_closest(scene, s["o"], s["d"], tri_bvh=tri_bvh)
+        h = trace_closest(scene, s["o"], s["d"], tri_bvh=tri_bvh,
+                          tri_flash=tri_flash)
         rnd = zrng.uniform4(
             seed, pixel_ids, s["sample_idx"], s["path_depth"], zrng.STREAM_SCATTER
         )
@@ -392,6 +399,17 @@ def render(scene: Scene, camera: cam.Camera, params: RenderParams):
     n_slots = math.ceil(n_pixels / n_lanes)
 
     tri_bvh = maybe_build_bvh(scene, params)
+    # Flash-intersect kernel: streaming VMEM triangle intersection
+    # (ops/flash_intersect.py) — the fast mesh path on real TPUs; the
+    # interpreter-mode kernel is slow, so CPU uses the XLA brute path.
+    tri_flash = None
+    if (tri_bvh is None and scene.n_triangles > 0
+            and jax.default_backend() == "tpu"):
+        from zraytrace_tpu.ops.flash_intersect import pack_tri_planes
+
+        tri_flash = pack_tri_planes(scene.tri_a, scene.tri_b, scene.tri_c)
+        n_lanes = -(-n_lanes // 512) * 512  # flash needs 512-ray blocks
+        n_slots = math.ceil(n_pixels / n_lanes)
 
     stats = RenderStats(pixels=n_pixels)
     t1 = time.perf_counter()
@@ -412,7 +430,7 @@ def render(scene: Scene, camera: cam.Camera, params: RenderParams):
     else:
         sums, counters = _wavefront_jit(
             scene, camera, base, params.seed, w, h, spp, params.max_depth,
-            0, tri_bvh, n_lanes, n_pixels, n_slots,
+            0, tri_bvh, n_lanes, n_pixels, n_slots, tri_flash,
         )
     # pixel p lives at (slot p // n_lanes, lane p % n_lanes)
     sums = np.asarray(sums).reshape(n_slots * n_lanes, 3)[:n_pixels]
