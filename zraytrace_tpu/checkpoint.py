@@ -23,6 +23,27 @@ from zraytrace_tpu.scene import Scene
 _MAGIC = "zraytrace_tpu-render-v1"
 
 
+def scene_fingerprint(scene, camera=None, extra: tuple = ()) -> str:
+    """Stable hash of every scene/camera array plus ``extra`` config.
+
+    Resuming a checkpoint against a different scene would silently blend
+    sample sums from two scenes into one image; the fingerprint rejects
+    that instead.
+    """
+    import hashlib
+
+    import jax
+
+    h = hashlib.sha256()
+    for leaf in jax.tree_util.tree_leaves((scene, camera)):
+        arr = np.asarray(leaf)
+        h.update(str(arr.dtype).encode())
+        h.update(str(arr.shape).encode())
+        h.update(np.ascontiguousarray(arr).tobytes())
+    h.update(repr(extra).encode())
+    return h.hexdigest()
+
+
 @dataclasses.dataclass
 class RenderCheckpoint:
     pixel_sum: np.ndarray  # (H*W, 3) f64 accumulated radiance sums
@@ -32,6 +53,9 @@ class RenderCheckpoint:
     height: int
     seed: int
     max_depth: int
+    # sha256 over scene + camera arrays + chunking; "" accepts anything
+    # (pre-v2 checkpoints).
+    scene_hash: str = ""
 
 
 def save_checkpoint(path, ckpt: RenderCheckpoint) -> None:
@@ -51,6 +75,7 @@ def save_checkpoint(path, ckpt: RenderCheckpoint) -> None:
                 height=ckpt.height,
                 seed=ckpt.seed,
                 max_depth=ckpt.max_depth,
+                scene_hash=ckpt.scene_hash,
             )
         os.replace(tmp, path)
     except BaseException:
@@ -73,6 +98,7 @@ def load_checkpoint(path) -> RenderCheckpoint | None:
             height=int(z["height"]),
             seed=int(z["seed"]),
             max_depth=int(z["max_depth"]),
+            scene_hash=str(z["scene_hash"]) if "scene_hash" in z else "",
         )
 
 
@@ -92,27 +118,42 @@ def render_checkpointed(
     statistically identical to ``render``, which accumulates in a
     different order). Returns ``(image, RenderStats)``.
     """
+    import math
     import time
 
     import jax
     import jax.numpy as jnp
 
-    from zraytrace_tpu.render import _wavefront_jit
+    from zraytrace_tpu.render import _wavefront_jit, maybe_build_bvh
 
     w, h = params.width, params.height
     n = w * h
-    if n > params.max_wavefront:
-        raise ValueError(
-            "render_checkpointed currently requires the image to fit one "
-            f"wavefront ({n} > {params.max_wavefront}); raise max_wavefront"
-        )
+    # Same lane/slot layout as render(): images beyond one wavefront get
+    # several strided pixels per lane; pixel ids stay global so RNG
+    # streams (and therefore resumed results) are layout-invariant.
+    n_lanes = min(n, params.max_wavefront)
+    tri_bvh = maybe_build_bvh(scene, params)
+    tri_flash = None
+    if (tri_bvh is None and scene.n_triangles > 0
+            and jax.default_backend() == "tpu"):
+        from zraytrace_tpu.ops.flash_intersect import pack_tri_planes
 
+        tri_flash = pack_tri_planes(scene.tri_a, scene.tri_b, scene.tri_c)
+        n_lanes = -(-n_lanes // 512) * 512
+    n_slots = math.ceil(n / n_lanes)
+
+    fp = scene_fingerprint(scene, camera, extra=(chunk_spp,))
     ckpt = load_checkpoint(path)
     if ckpt is not None:
         if (ckpt.width, ckpt.height, ckpt.seed, ckpt.max_depth) != (
             w, h, params.seed, params.max_depth,
         ):
             raise ValueError(f"checkpoint {path} does not match render config")
+        if ckpt.scene_hash and ckpt.scene_hash != fp:
+            raise ValueError(
+                f"checkpoint {path} was written for a different scene/"
+                "camera/chunking — refusing to blend sample sums"
+            )
         pixel_sum = ckpt.pixel_sum.astype(np.float64)
         counters = ckpt.counters.astype(np.uint64)
         done = ckpt.samples_done
@@ -121,20 +162,17 @@ def render_checkpointed(
         counters = np.zeros((N_COUNTERS, 2), np.uint64)
         done = 0
 
-    from zraytrace_tpu.render import maybe_build_bvh
-
-    tri_bvh = maybe_build_bvh(scene, params)
-
-    ids = jnp.arange(n, dtype=jnp.int32)
+    ids = jnp.arange(n_lanes, dtype=jnp.int32)
     t0 = time.perf_counter()
     while done < params.samples_per_pixel:
         step = min(chunk_spp, params.samples_per_pixel - done)
         sums, cnts = _wavefront_jit(
             scene, camera, ids, params.seed, w, h, step, params.max_depth,
-            done, tri_bvh,
+            done, tri_bvh, n_lanes, n, n_slots, tri_flash,
         )
         jax.block_until_ready(sums)
-        pixel_sum += np.asarray(sums[0], np.float64)
+        flat = np.asarray(sums, np.float64).reshape(n_slots * n_lanes, 3)[:n]
+        pixel_sum += flat
         counters += np.asarray(cnts, np.uint64)
         done += step
         save_checkpoint(
@@ -142,7 +180,7 @@ def render_checkpointed(
             RenderCheckpoint(
                 pixel_sum=pixel_sum, counters=counters, samples_done=done,
                 width=w, height=h, seed=params.seed,
-                max_depth=params.max_depth,
+                max_depth=params.max_depth, scene_hash=fp,
             ),
         )
     elapsed = time.perf_counter() - t0

@@ -54,7 +54,11 @@ def main(argv=None) -> int:
         bvh=not args.no_bvh,
         seed=args.seed,
     )
-    built = build_scene(args.scene_index)
+    from zraytrace_tpu.profiling import PhaseTimer
+
+    timer = PhaseTimer()
+    with timer.span("scene build"):
+        built = build_scene(args.scene_index)
     print(f"Rendering scene {built.name}", file=sys.stderr)
     print(f" - Surfaces:          {built.scene.n_primitives}", file=sys.stderr)
     print(f" - Pixels:            {params.width}x{params.height}", file=sys.stderr)
@@ -64,12 +68,16 @@ def main(argv=None) -> int:
     from zraytrace_tpu.profiling import print_render_report, xla_trace
 
     with xla_trace(os.environ.get("ZRAYTRACE_TRACE_DIR")):
-        image, stats = render(built.scene, built.camera, params)
-    write_png(args.filename, image)
-    if args.ppm:
-        write_ppm(str(args.filename) + ".ppm", image)
+        with timer.span("render"):
+            image, stats = render(built.scene, built.camera, params)
+    with timer.span("image write"):
+        write_png(args.filename, image)
+        if args.ppm:
+            write_ppm(str(args.filename) + ".ppm", image)
 
     print_render_report(stats)
+    print("Phase timings:", file=sys.stderr)
+    timer.report()
     return 0
 
 

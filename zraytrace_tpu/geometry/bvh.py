@@ -210,32 +210,17 @@ def bvh_depth_stats(bvh: TriBVH) -> dict:
     Tracking (bvh.zig:23-30, 'Max depth in BVH is 13')."""
     skip = np.asarray(bvh.skip)
     count = np.asarray(bvh.prim_count)
-    depth = 0
+    # Iterative preorder walk: internal nodes have exactly two children at
+    # node+1 and after the left subtree, so depth is tracked with an
+    # explicit stack of subtree-end sentinels (no host recursion).
     max_depth = 0
-    stack = [(0, 1)]
-    # reconstruct depth from preorder + skip links
-    depths = np.zeros(len(skip), np.int32)
-    for i in range(1, len(skip)):
-        depths[i] = 0
-    # simple recomputation via ranges
-    def walk(node, d):
-        nonlocal max_depth
-        max_depth = max(max_depth, d)
-        if count[node] > 0:
-            return node + 1
-        child = node + 1
-        child = walk(child, d + 1)
-        child = walk(child, d + 1)
-        return child
-
-    import sys
-
-    old = sys.getrecursionlimit()
-    sys.setrecursionlimit(100000)
-    try:
-        walk(0, 0)
-    finally:
-        sys.setrecursionlimit(old)
+    ends: list[int] = []
+    for node in range(len(skip)):
+        while ends and node >= ends[-1]:
+            ends.pop()
+        max_depth = max(max_depth, len(ends))
+        if count[node] == 0:
+            ends.append(int(skip[node]) if skip[node] > node else len(skip))
     return dict(
         n_nodes=len(skip),
         n_leaves=int((count > 0).sum()),
@@ -307,6 +292,15 @@ def bvh_closest_triangle(bvh: TriBVH, a, b, c, o, d, t_min, t_max):
     n = o.shape[0]
     M = bvh.n_nodes
     T = a_s.shape[0]
+    # The leaf test unrolls to the BVH's actual max leaf size (a BVH built
+    # with leaf_size > LEAF_SIZE would otherwise silently skip primitives
+    # beyond the 4th of each leaf). prim_count is concrete host data in
+    # every real call path; if it is ever traced, fall back to LEAF_SIZE
+    # and trust the default build.
+    try:
+        max_leaf = max(int(np.max(np.asarray(bvh.prim_count))), 1)
+    except (jax.errors.TracerArrayConversionError, TypeError):
+        max_leaf = LEAF_SIZE
     inv_d = 1.0 / jnp.where(jnp.abs(d_s) > 1e-20, d_s, 1e-20)
 
     # TPU gathers cost per ROW, nearly independent of row width
@@ -360,7 +354,7 @@ def bvh_closest_triangle(bvh: TriBVH, a, b, c, o, d, t_min, t_max):
         idx_best = s["idx"]
         found = s["found"]
         do_leaf = box_hit & is_leaf
-        for k in range(LEAF_SIZE):
+        for k in range(max_leaf):
             prow = prims_packed[jnp.minimum(start + k, T - 1)]  # (N, 10)
             av, bv, cv = prow[:, 0:3], prow[:, 3:6], prow[:, 6:9]
             prim = prow[:, 9].astype(jnp.int32)

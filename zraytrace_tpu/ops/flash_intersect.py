@@ -113,7 +113,12 @@ def _kernel(planes_ref, o_ref, d_ref, tmin_ref, out_ref):
         v = -(pxv * e1x + pyv * e1y + pzv * e1z
               - (dx * rax + dy * ray_ + dz * raz)) * inv_det
         t = (ox * fnx + oy * fny + oz * fnz - adf) * inv_det
-        is_hit = ((det >= DET_EPS) & (t > t_min) & (u >= 0.0) & (v >= 0.0)
+        # t_best tightens the window across chunks exactly like the
+        # reference's recursive t_max tightening (bvh.zig:196-203);
+        # result-identical (the running-winner select already kept the
+        # first-lowest), it just keeps the comparison window tight.
+        is_hit = ((det >= DET_EPS) & (t > t_min) & (t < t_best[:, None])
+                  & (u >= 0.0) & (v >= 0.0)
                   & (u + v <= 1.0) & (valid > 0.5))
         t = jnp.where(is_hit, t, _BIG)
 

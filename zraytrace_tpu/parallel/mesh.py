@@ -120,7 +120,10 @@ def render_sharded(
     n_pixels = w * h
     lanes = math.ceil(n_pixels / n_data) * n_data
     ids = np.arange(lanes, dtype=np.int32)
-    ids[n_pixels:] = 0  # padding lanes re-trace pixel 0; discarded below
+    # Padding lanes get an id >= n_pixels: lane_alive() is false from the
+    # start, so they stay idle and contribute nothing to image or counters
+    # (re-tracing pixel 0 would over-report RenderStats).
+    ids[n_pixels:] = n_pixels
     sample_starts = jnp.arange(n_sample, dtype=jnp.int32) * spp_local
 
     t0 = time.perf_counter()

@@ -133,7 +133,7 @@ def trace_closest(scene: Scene, o, d, t_min=T_MIN, t_max=_BIG, tri_bvh=None,
         from zraytrace_tpu.geometry.bvh import bvh_closest_triangle
 
         tt, ti, _, uv_t = bvh_closest_triangle(
-            tri_bvh, scene.tri_a, scene.tri_b, scene.tri_c, o, d, t_min, _BIG
+            tri_bvh, scene.tri_a, scene.tri_b, scene.tri_c, o, d, t_min, t_max
         )
     elif tri_flash is not None and scene.n_triangles > 0 and n % 512 == 0:
         from zraytrace_tpu.ops.flash_intersect import flash_intersect_triangles
