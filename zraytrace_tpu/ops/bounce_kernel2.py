@@ -1,0 +1,547 @@
+"""Pallas TPU bounce megakernel, round 2: B iterations per launch with
+texel-stall batching (sphere scenes).
+
+The round-1 kernel ran ONE wavefront iteration per launch: per-iteration
+state round-tripped HBM, and the texture-atlas gather (a hardware
+per-row cost of ~5 ns/row that Mosaic cannot beat in-kernel — dim-0
+dynamic_gather does not lower on this backend, tools/gather_probe3.py)
+was paid every iteration for every lane.
+
+This kernel runs ``B`` bounce iterations per launch with all lane state
+live in VMEM. Lanes that scatter off an image-textured material record
+the texel index in a per-lane ``pend`` slot and STALL (idle but alive)
+until the end of the launch; the XLA glue then resolves every pending
+texel with ONE batched gather and multiplies it into throughput before
+the next launch. The gather floor is amortized B-fold at the price of a
+stall-occupancy loss of (1-(1-f)^B)/(fB) where f is the per-ray texel
+rate (~11% on the 7-spheres scene — most paths never touch a texture).
+
+Stalling preserves exactness: the stateless PCG4D streams are keyed by
+(pixel, sample, bounce), so a stalled lane resumes the identical stream,
+and every counter (rays/reflections/background/recursion/samples) counts
+the same events as the XLA wavefront — tests compare them directly.
+
+Reference call-outs as in render.py: rayColor loop raytrace.zig:62-100,
+sphere hit sphere.zig:31-69, materials material.zig:43-128, texture
+texture.zig:52-74, camera camera.zig:46-52, sky raytrace.zig:53-58.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from zraytrace_tpu import rng as zrng
+from zraytrace_tpu import scene as sc
+from zraytrace_tpu.ops.bounce_kernel import (
+    LANE,
+    P_ATLASW, P_HEIGHT, P_MAXDEPTH, P_NPIX, P_NSLOTS, P_SEED, P_SEND,
+    P_SSTART, P_STRIDE, P_WIDTH,
+    SceneTables,
+    _acos, _atan2, _dot, _normalize, _uniform4,
+    prepare_tables,
+)
+
+N_COUNTS = 8
+
+# Lane rows per grid block. Small blocks keep every (R_BLK, 128)
+# temporary at one-vreg granularity so Mosaic's register allocator stops
+# spilling the straight-line body to VMEM stack (the round-1 kernel at
+# R_BLK=64 held ~24 MB of live temporaries and ran 2.8x slower than XLA;
+# see PERF.md). The grid pipeline hides the extra per-block DMA.
+R_BLK = 8
+# Bounce iterations per launch. Larger B amortizes the glue (texture
+# gather + launch) further but loses more occupancy to texel stalls.
+B_DEFAULT = 8
+
+VMEM_LIMIT = 100 * 1024 * 1024
+
+
+def make_bounce_kernel2(n_spheres: int, n_mats: int, shape, n_slots: int,
+                        n_bounce: int, r_blk: int = R_BLK):
+    """Build the pallas_call: ``n_bounce`` wavefront iterations over
+    ``(R, 128)`` lane state, gridded in ``r_blk``-row blocks. Sphere and
+    material counts are static (unrolled where-chains)."""
+    R_total, L = shape
+    assert L == LANE
+    R = min(r_blk, R_total)
+    assert R_total % R == 0, (R_total, R)
+    n_blocks = R_total // R
+    blk = (R, L)
+    SP = 3 * n_slots
+
+    def kernel(
+        # SMEM inputs
+        params_ref, cam_ref, sph_ref, mat_ref,
+        # VMEM inputs
+        pix_ref,
+        ox_i, oy_i, oz_i, dx_i, dy_i, dz_i,
+        tr_i, tg_i, tb_i, ar_i, ag_i, ab_i,
+        dep_i, samp_i, slot_i,
+        ss_i,
+        # outputs
+        ox_o, oy_o, oz_o, dx_o, dy_o, dz_o,
+        tr_o, tg_o, tb_o, ar_o, ag_o, ab_o,
+        dep_o, samp_o, slot_o,
+        pend_o, ss_o, counts_o,
+    ):
+        width = params_ref[P_WIDTH]
+        height = params_ref[P_HEIGHT]
+        sample_end = params_ref[P_SEND]
+        max_depth = params_ref[P_MAXDEPTH]
+        seed = params_ref[P_SEED]
+        n_pixels = params_ref[P_NPIX]
+        stride = params_ref[P_STRIDE]
+        sample_start = params_ref[P_SSTART]
+        atlas_w = params_ref[P_ATLASW]
+        n_slots_t = params_ref[P_NSLOTS]
+        fw = width.astype(jnp.float32)
+        fh = height.astype(jnp.float32)
+        seed_u = jnp.asarray(seed, jnp.int32).astype(jnp.uint32)
+        seed_sc = seed_u ^ jnp.uint32(int(zrng.STREAM_SCATTER))
+        seed_cam = seed_u ^ jnp.uint32(int(zrng.STREAM_CAMERA))
+
+        ss_o[:] = ss_i[:]
+        base = pix_ref[:]
+
+        def iter_body(_, carry):
+            (ox, oy, oz, dx, dy, dz, tr, tg, tb, ar, ag, ab,
+             dep, samp, slot, pend,
+             n_rays, n_refl, n_miss, n_rec, n_samp, n_tex) = carry
+
+            pixel = base + slot * stride
+            alive = (slot < n_slots_t) & (pixel < n_pixels)
+            stalled = pend >= 0
+            live = alive & ~stalled
+            exhausted = live & (dep >= max_depth)
+            processing = live & ~exhausted
+
+            # ---- closest sphere (fused running winner; sphere.zig:31-69)
+            BIG = jnp.float32(3.4e38)
+            o_dot_d = _dot(ox, oy, oz, dx, dy, dz)
+            o_sq = _dot(ox, oy, oz, ox, oy, oz)
+            t_best = jnp.full(blk, BIG)
+            cxs = jnp.zeros(blk, jnp.float32)
+            cys = jnp.zeros(blk, jnp.float32)
+            czs = jnp.zeros(blk, jnp.float32)
+            rs = jnp.ones(blk, jnp.float32)
+            ms = jnp.zeros(blk, jnp.int32)
+            t_min = jnp.float32(1e-3)
+            for s in range(n_spheres):
+                cx = sph_ref[s, 0]
+                cy = sph_ref[s, 1]
+                cz = sph_ref[s, 2]
+                r = sph_ref[s, 3]
+                mid = sph_ref[s, 4].astype(jnp.int32)
+                half_b = o_dot_d - (dx * cx + dy * cy + dz * cz)
+                cc = o_sq - 2.0 * (ox * cx + oy * cy + oz * cz) + (
+                    cx * cx + cy * cy + cz * cz - r * r)
+                disc = half_b * half_b - cc
+                pos = disc > 0.0
+                root = jnp.where(pos, jnp.sqrt(jnp.where(pos, disc, 1.0)), 0.0)
+                t1 = -half_b - root
+                t2 = -half_b + root
+                ok1 = (t1 > t_min) & (t1 < BIG)
+                ok2 = (t2 > t_min) & (t2 < BIG)
+                t = jnp.where(ok1, t1, t2)
+                valid = (disc >= 0.0) & (ok1 | ok2)
+                better = valid & (t < t_best)
+                t_best = jnp.where(better, t, t_best)
+                cxs = jnp.where(better, cx, cxs)
+                cys = jnp.where(better, cy, cys)
+                czs = jnp.where(better, cz, czs)
+                rs = jnp.where(better, r, rs)
+                ms = jnp.where(better, mid, ms)
+
+            hit = t_best < BIG
+            t_attr = jnp.where(hit, t_best, 1.0)
+            px_ = ox + t_attr * dx
+            py_ = oy + t_attr * dy
+            pz_ = oz + t_attr * dz
+            safe_r = jnp.where(jnp.abs(rs) > 1e-8, rs, 1e-8)
+            nx = (px_ - cxs) / safe_r
+            ny = (py_ - cys) / safe_r
+            nz = (pz_ - czs) / safe_r
+            # front-face flip (hit_record.zig:28-41)
+            front = _dot(dx, dy, dz, nx, ny, nz) <= 0.0
+            fsign = jnp.where(front, 1.0, -1.0)
+            nx, ny, nz = nx * fsign, ny * fsign, nz * fsign
+            # spherical uv (sphere.zig:47-51) on the outward normal
+            ony = jnp.clip(ny * fsign, -1.0 + 1e-7, 1.0 - 1e-7)
+            theta = _acos(-ony)
+            onx = nx * fsign
+            onz = nz * fsign
+            pole = (jnp.abs(onx) + jnp.abs(onz)) < 1e-12
+            onx = jnp.where(pole, 1e-12, onx)
+            phi = _atan2(-onz, -onx) + jnp.float32(np.pi)
+            uu_ = phi * jnp.float32(1.0 / (2.0 * np.pi))
+            vv_ = theta * jnp.float32(1.0 / np.pi)
+
+            # ---- material attrs (where-chain over the M-row table)
+            r0_, r1_, r2_, _ = _uniform4(seed_sc, pixel, samp, dep)
+
+            def sel(col):
+                out = jnp.zeros(blk, jnp.float32)
+                for m in range(n_mats):
+                    out = jnp.where(ms == m, mat_ref[m, col], out)
+                return out
+
+            mtype = sel(0)
+            ior = sel(1)
+            textype = sel(2)
+            col_r = sel(3)
+            col_g = sel(4)
+            col_b = sel(5)
+            tbase = sel(6)
+            uoff = sel(7)
+            voff = sel(8)
+            th = sel(9)
+            tw = sel(10)
+
+            # texel index (texture.zig:52-74): u flip + offset + wrap
+            def wrap(x):
+                x = jnp.where(x > 1.0, x - 1.0, x)
+                return jnp.where(x < 0.0, x + 1.0, x)
+
+            uu = wrap(1.0 - uu_ + uoff)
+            vv = wrap(vv_ + voff)
+            ix = jnp.clip((uu * tw).astype(jnp.int32), 0,
+                          tw.astype(jnp.int32) - 1)
+            iy = jnp.clip((vv * th).astype(jnp.int32), 0,
+                          th.astype(jnp.int32) - 1)
+            texflat = tbase.astype(jnp.int32) + iy * atlas_w + ix
+
+            # ---- scatter (material.zig:71-128)
+            zr = r0_ * 2.0 - 1.0
+            phi_l = jnp.float32(2.0 * np.pi) * r1_
+            rad = jnp.sqrt(jnp.maximum(0.0, 1.0 - zr * zr))
+            rux = rad * jnp.cos(phi_l)
+            ruy = rad * jnp.sin(phi_l)
+            ruz = zr
+            lx, ly, lz = nx + rux, ny + ruy, nz + ruz
+            degen = (lx * lx + ly * ly + lz * lz) < 1e-12
+            lx = jnp.where(degen, nx, lx)
+            ly = jnp.where(degen, ny, ly)
+            lz = jnp.where(degen, nz, lz)
+            ddn = _dot(dx, dy, dz, nx, ny, nz)
+            mx = dx - 2.0 * ddn * nx
+            my = dy - 2.0 * ddn * ny
+            mz = dz - 2.0 * ddn * nz
+            met_absorb = _dot(mx, my, mz, nx, ny, nz) <= 0.0
+            ratio = jnp.where(front, 1.0 / ior, ior)
+            cos_t = jnp.minimum(-ddn, 1.0)
+            sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
+            cannot = ratio * sin_t > 1.0
+            r0s = (1.0 - ratio) / (1.0 + ratio)
+            schl = r0s + (1.0 - r0s) * (1.0 - cos_t) ** 5
+            reflect_now = cannot | (schl > r2_)
+            rpx = ratio * (dx + cos_t * nx)
+            rpy = ratio * (dy + cos_t * ny)
+            rpz = ratio * (dz + cos_t * nz)
+            kk = jnp.abs(1.0 - (rpx * rpx + rpy * rpy + rpz * rpz))
+            kpos = kk > 0.0
+            kroot = jnp.where(kpos, jnp.sqrt(jnp.where(kpos, kk, 1.0)), 0.0)
+            fx = rpx - kroot * nx
+            fy = rpy - kroot * ny
+            fz = rpz - kroot * nz
+            gx = jnp.where(reflect_now, mx, fx)
+            gy = jnp.where(reflect_now, my, fy)
+            gz = jnp.where(reflect_now, mz, fz)
+
+            is_lam = mtype < 0.5
+            is_met = (mtype >= 0.5) & (mtype < 1.5)
+            sx = jnp.where(is_lam, lx, jnp.where(is_met, mx, gx))
+            sy = jnp.where(is_lam, ly, jnp.where(is_met, my, gy))
+            sz = jnp.where(is_lam, lz, jnp.where(is_met, mz, gz))
+            sx, sy, sz = _normalize(sx, sy, sz)
+
+            absorbed = is_met & met_absorb
+            miss = processing & ~hit
+            sc_ = processing & hit & ~absorbed
+            path_done = miss | (processing & hit & absorbed) | exhausted
+
+            # sky radiance on escape (raytrace.zig:53-58)
+            tsky = 0.5 * (dy + 1.0)
+            skyr = (1.0 - tsky) + tsky * 0.5
+            skyg = (1.0 - tsky) + tsky * 0.7
+            skyb = (1.0 - tsky) + tsky * 1.0
+            mf = miss.astype(jnp.float32)
+            ar = ar + mf * tr * skyr
+            ag = ag + mf * tg * skyg
+            ab = ab + mf * tb * skyb
+
+            # throughput: const albedo applied here; image texels recorded
+            # in pend and resolved by the glue (the lane stalls meanwhile)
+            use_img = textype > 0.5
+            alr = jnp.where(is_lam | is_met,
+                            jnp.where(use_img, 1.0, col_r), 1.0)
+            alg = jnp.where(is_lam | is_met,
+                            jnp.where(use_img, 1.0, col_g), 1.0)
+            alb = jnp.where(is_lam | is_met,
+                            jnp.where(use_img, 1.0, col_b), 1.0)
+            tr = jnp.where(sc_, tr * alr, tr)
+            tg = jnp.where(sc_, tg * alg, tg)
+            tb = jnp.where(sc_, tb * alb, tb)
+            texneed = sc_ & (is_lam | is_met) & use_img
+            pend = jnp.where(texneed, texflat, pend)
+
+            ox = jnp.where(sc_, px_, ox)
+            oy = jnp.where(sc_, py_, oy)
+            oz = jnp.where(sc_, pz_, oz)
+            dx = jnp.where(sc_, sx, dx)
+            dy = jnp.where(sc_, sy, dy)
+            dz = jnp.where(sc_, sz, dz)
+            dep = jnp.where(sc_, dep + 1, dep)
+
+            # sample/pixel bookkeeping + in-kernel slot commit
+            samp2 = samp + path_done.astype(jnp.int32)
+            finished = path_done & (samp2 >= sample_end)
+            fmask = finished.astype(jnp.float32)
+            for k in range(n_slots):
+                mk = (fmask * (slot == k).astype(jnp.float32))
+                ss_o[3 * k + 0, :, :] = ss_o[3 * k + 0, :, :] + ar * mk
+                ss_o[3 * k + 1, :, :] = ss_o[3 * k + 1, :, :] + ag * mk
+                ss_o[3 * k + 2, :, :] = ss_o[3 * k + 2, :, :] + ab * mk
+            ar = jnp.where(finished, 0.0, ar)
+            ag = jnp.where(finished, 0.0, ag)
+            ab = jnp.where(finished, 0.0, ab)
+            slot2 = slot + finished.astype(jnp.int32)
+            samp2 = jnp.where(finished, sample_start, samp2)
+
+            # camera regeneration (camera.zig:46-52; raytrace.zig:174)
+            pixel2 = base + slot2 * stride
+            j0, j1, _, _ = _uniform4(seed_cam, pixel2, samp2,
+                                     jnp.zeros_like(dep))
+            pxf = (pixel2 % width).astype(jnp.float32)
+            pyf = (pixel2 // width).astype(jnp.float32)
+            cu = (pxf + j0 - 0.5) / fw
+            cv = (pyf + j1 - 0.5) / fh
+            cox = cam_ref[0]
+            coy = cam_ref[1]
+            coz = cam_ref[2]
+            ndx = cam_ref[3] + cu * cam_ref[6] + cv * cam_ref[9] - cox
+            ndy = cam_ref[4] + cu * cam_ref[7] + cv * cam_ref[10] - coy
+            ndz = cam_ref[5] + cu * cam_ref[8] + cv * cam_ref[11] - coz
+            ndx, ndy, ndz = _normalize(ndx, ndy, ndz)
+
+            pd = path_done
+            ox = jnp.where(pd, cox, ox)
+            oy = jnp.where(pd, coy, oy)
+            oz = jnp.where(pd, coz, oz)
+            dx = jnp.where(pd, ndx, dx)
+            dy = jnp.where(pd, ndy, dy)
+            dz = jnp.where(pd, ndz, dz)
+            tr = jnp.where(pd, 1.0, tr)
+            tg = jnp.where(pd, 1.0, tg)
+            tb = jnp.where(pd, 1.0, tb)
+            dep = jnp.where(pd, 0, dep)
+
+            cnt = lambda m: jnp.sum(m.astype(jnp.int32))
+            return (ox, oy, oz, dx, dy, dz, tr, tg, tb, ar, ag, ab,
+                    dep, samp2, slot2, pend,
+                    n_rays + cnt(processing), n_refl + cnt(sc_),
+                    n_miss + cnt(miss), n_rec + cnt(exhausted),
+                    n_samp + cnt(path_done), n_tex + cnt(texneed))
+
+        zero = jnp.int32(0)
+        init = (
+            ox_i[:], oy_i[:], oz_i[:], dx_i[:], dy_i[:], dz_i[:],
+            tr_i[:], tg_i[:], tb_i[:], ar_i[:], ag_i[:], ab_i[:],
+            dep_i[:], samp_i[:], slot_i[:],
+            jnp.full(blk, -1, jnp.int32),
+            zero, zero, zero, zero, zero, zero,
+        )
+        fin = jax.lax.fori_loop(0, n_bounce, iter_body, init)
+        (ox, oy, oz, dx, dy, dz, tr, tg, tb, ar, ag, ab,
+         dep, samp, slot, pend,
+         n_rays, n_refl, n_miss, n_rec, n_samp, n_tex) = fin
+
+        ox_o[:] = ox
+        oy_o[:] = oy
+        oz_o[:] = oz
+        dx_o[:] = dx
+        dy_o[:] = dy
+        dz_o[:] = dz
+        tr_o[:] = tr
+        tg_o[:] = tg
+        tb_o[:] = tb
+        ar_o[:] = ar
+        ag_o[:] = ag
+        ab_o[:] = ab
+        dep_o[:] = dep
+        samp_o[:] = samp
+        slot_o[:] = slot
+        pend_o[:] = pend
+
+        i = pl.program_id(0)
+        counts_o[i, 0] = n_rays
+        counts_o[i, 1] = n_refl
+        counts_o[i, 2] = n_miss
+        counts_o[i, 3] = n_rec
+        counts_o[i, 4] = n_samp
+        counts_o[i, 5] = jnp.int32(n_bounce)
+        counts_o[i, 6] = n_tex
+        counts_o[i, 7] = jnp.int32(0)
+
+    f32 = jnp.float32
+    i32 = jnp.int32
+    st = lambda dt: jax.ShapeDtypeStruct((R_total, L), dt)
+    out_shape = (
+        [st(f32)] * 12 + [st(i32)] * 3 + [st(i32)]
+        + [jax.ShapeDtypeStruct((SP, R_total, L), f32)]
+        + [jax.ShapeDtypeStruct((n_blocks, N_COUNTS), i32)]
+    )
+    smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+    lane_blk = lambda: pl.BlockSpec((R, L), lambda i: (i, 0),
+                                    memory_space=pltpu.VMEM)
+    ss_blk = lambda: pl.BlockSpec((SP, R, L), lambda i: (0, i, 0),
+                                  memory_space=pltpu.VMEM)
+    in_specs = ([smem()] * 4 + [lane_blk()] * 16 + [ss_blk()])
+    out_specs = tuple(
+        [lane_blk()] * 16 + [ss_blk()]
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)]
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        out_shape=tuple(out_shape),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
+        interpret=_interpret_mode(),
+    )
+
+
+def _interpret_mode() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+# ---------------------------------------------------------------------------
+# XLA glue: while_loop over launches + one texel gather per launch
+# ---------------------------------------------------------------------------
+
+
+def wavefront_trace_pallas2(
+    scene: sc.Scene,
+    camera,
+    pixel_base: jnp.ndarray,  # (N,) int32, N divisible by R_BLK*128
+    seed,
+    width,
+    height,
+    spp,
+    max_depth,
+    sample_start=0,
+    n_slots: int = 1,
+    pixel_stride=None,
+    n_pixels=None,
+    n_bounce: int = B_DEFAULT,
+    r_blk: int = R_BLK,
+):
+    """Same contract as render.wavefront_trace (sphere-only scenes),
+    driven by the B-iteration megakernel. Returns
+    ``(slot_sums (n_slots, N, 3), counters (6, 2))``."""
+    from zraytrace_tpu import camera as cam_mod
+    from zraytrace_tpu.render import N_COUNTERS, _u64_add
+
+    assert scene.n_triangles == 0 and scene.n_spheres > 0
+    n = pixel_base.shape[0]
+    assert n % LANE == 0, n
+    R = n // LANE
+    assert R % min(r_blk, R) == 0, (R, r_blk)
+    shape = (R, LANE)
+
+    tables = prepare_tables(scene, camera)
+    S = int(tables.spheres.shape[0])
+    M = int(tables.mats.shape[0])
+    kernel = make_bounce_kernel2(S, M, shape, n_slots, n_bounce, r_blk)
+
+    width_i = jnp.asarray(width, jnp.int32)
+    height_i = jnp.asarray(height, jnp.int32)
+    spp_i = jnp.asarray(spp, jnp.int32)
+    sstart_i = jnp.asarray(sample_start, jnp.int32)
+    stride_i = jnp.asarray(n if pixel_stride is None else pixel_stride,
+                           jnp.int32)
+    npix_i = (width_i * height_i if n_pixels is None
+              else jnp.asarray(n_pixels, jnp.int32))
+    atlas_w = scene.atlas.shape[2]
+    params = jnp.stack([
+        width_i, height_i, sstart_i + spp_i,
+        jnp.asarray(max_depth, jnp.int32),
+        jnp.asarray(seed, jnp.int32), npix_i, stride_i, sstart_i,
+        jnp.asarray(atlas_w, jnp.int32), jnp.asarray(n_slots, jnp.int32),
+    ])
+
+    base2 = pixel_base.reshape(shape)
+    j = zrng.uniform4(seed, pixel_base, sstart_i, 0, zrng.STREAM_CAMERA)
+    px = (pixel_base % width_i).astype(jnp.float32)
+    py = (pixel_base // width_i).astype(jnp.float32)
+    u, v = cam_mod.pixel_uv(px, py, j[:, 0], j[:, 1],
+                            width_i.astype(jnp.float32),
+                            height_i.astype(jnp.float32))
+    o0, d0 = cam_mod.get_rays(camera, u, v)
+    r2 = lambda x: x.reshape(shape)
+
+    state = dict(
+        ox=r2(o0[:, 0]), oy=r2(o0[:, 1]), oz=r2(o0[:, 2]),
+        dx=r2(d0[:, 0]), dy=r2(d0[:, 1]), dz=r2(d0[:, 2]),
+        tr=jnp.ones(shape), tg=jnp.ones(shape), tb=jnp.ones(shape),
+        ar=jnp.zeros(shape), ag=jnp.zeros(shape), ab=jnp.zeros(shape),
+        dep=jnp.zeros(shape, jnp.int32),
+        samp=jnp.full(shape, sstart_i, jnp.int32),
+        slot=jnp.zeros(shape, jnp.int32),
+        slot_sums=jnp.zeros((3 * n_slots, R, LANE), jnp.float32),
+        counters=jnp.zeros((N_COUNTERS, 2), jnp.uint32),
+    )
+    atlas_flat = scene.atlas.reshape(-1, 3)
+
+    def cond(s):
+        return jnp.any(
+            (s["slot"] < n_slots) & (base2 + s["slot"] * stride_i < npix_i)
+        )
+
+    def body(s):
+        outs = kernel(
+            params, tables.cam, tables.spheres, tables.mats, base2,
+            s["ox"], s["oy"], s["oz"], s["dx"], s["dy"], s["dz"],
+            s["tr"], s["tg"], s["tb"], s["ar"], s["ag"], s["ab"],
+            s["dep"], s["samp"], s["slot"], s["slot_sums"],
+        )
+        (ox, oy, oz, dx, dy, dz, tr, tg, tb, ar, ag, ab,
+         dep, samp, slot, pend, slot_sums, counts) = outs
+
+        # the one gather per launch: resolve all pending texels
+        texel = atlas_flat[jnp.maximum(pend, 0)]  # (R, 128, 3)
+        need = pend >= 0
+        tr = jnp.where(need, tr * texel[..., 0], tr)
+        tg = jnp.where(need, tg * texel[..., 1], tg)
+        tb = jnp.where(need, tb * texel[..., 2], tb)
+
+        counters = s["counters"]
+        totals = counts.sum(axis=0)
+        totals = totals.at[5].set(jnp.int32(n_bounce))
+        for slot_i in range(6):
+            counters = counters.at[slot_i].set(
+                _u64_add(counters[slot_i], totals[slot_i].astype(jnp.uint32))
+            )
+
+        return dict(
+            ox=ox, oy=oy, oz=oz, dx=dx, dy=dy, dz=dz,
+            tr=tr, tg=tg, tb=tb, ar=ar, ag=ag, ab=ab,
+            dep=dep, samp=samp, slot=slot,
+            slot_sums=slot_sums, counters=counters,
+        )
+
+    final = jax.lax.while_loop(cond, body, state)
+    # (3*n_slots, R, 128) -> (n_slots, N, 3); lane id = row*128 + lane
+    ss = final["slot_sums"].reshape(n_slots, 3, n)
+    sums = jnp.transpose(ss, (0, 2, 1))
+    return sums, final["counters"]
+
+
+_wavefront_pallas2_jit = jax.jit(
+    wavefront_trace_pallas2,
+    static_argnames=("n_slots", "n_bounce", "r_blk"),
+)

@@ -421,11 +421,12 @@ def render(scene: Scene, camera: cam.Camera, params: RenderParams):
         and n_lanes % 128 == 0
     )
     if use_pallas:
-        from zraytrace_tpu.ops.bounce_kernel import _wavefront_pallas_jit
+        from zraytrace_tpu.ops.bounce_kernel2 import _wavefront_pallas2_jit
 
-        sums, counters = _wavefront_pallas_jit(
+        sums, counters = _wavefront_pallas2_jit(
             scene, camera, base, params.seed, w, h, spp, params.max_depth,
             0, n_slots, n_lanes, n_pixels,
+            n_bounce=params.pallas_bounces,
         )
     else:
         sums, counters = _wavefront_jit(
