@@ -81,3 +81,75 @@ def test_mesh_axis_names():
     mesh = make_mesh(n_data=4, n_sample=2)
     assert mesh.axis_names == ("data", "sample")
     assert mesh.shape["data"] == 4 and mesh.shape["sample"] == 2
+
+
+def test_sharded_render_nondivisible_counters_exact():
+    """Padding lanes are idle (id >= n_pixels), so counters match the
+    single-device totals even when pixels don't divide the data axis."""
+    scene, camera = _scene()
+    mesh = make_mesh(n_data=8, n_sample=1)
+    params = RenderParams(width=9, height=7, samples_per_pixel=2, max_depth=3)
+    img_single, st_single = render(scene, camera, params)
+    img_sharded, st_sharded = render_sharded(scene, camera, params, mesh)
+    np.testing.assert_allclose(img_single, img_sharded, atol=1e-5)
+    assert st_sharded.rays == st_single.rays
+    assert st_sharded.samples == st_single.samples
+    assert st_sharded.background_hits == st_single.background_hits
+
+
+def test_sharded_render_multi_slot():
+    """Images larger than max_wavefront run strided multi-pixel slots per
+    shard, exactly like render()."""
+    scene, camera = _scene()
+    mesh = make_mesh(n_data=4, n_sample=2)
+    params = RenderParams(width=16, height=16, samples_per_pixel=2,
+                          max_depth=3, max_wavefront=64)
+    img_single, st_single = render(scene, camera, params)
+    img_sharded, st_sharded = render_sharded(scene, camera, params, mesh)
+    np.testing.assert_allclose(img_single, img_sharded, atol=1e-5)
+    assert st_sharded.rays == st_single.rays
+
+
+def test_sharded_render_mesh_scene_triangles():
+    """Triangle scenes route through the same intersection paths as
+    render() under shard_map."""
+    from zraytrace_tpu import scene as sc
+    from zraytrace_tpu.camera import make_camera
+    from zraytrace_tpu.scene import SceneBuilder
+
+    b = SceneBuilder()
+    green = b.add_lambertian_color(sc.COLOR_GREEN)
+    metal = b.add_metal_color(sc.COLOR_SILVER)
+    b.add_sphere((0.0, -101.0, 5.0), 100.0, green)
+    tris = np.asarray(
+        [[[-1.0, 0.0, 4.0], [1.0, 0.0, 4.0], [0.0, 1.5, 4.5]],
+         [[1.5, 0.0, 5.0], [3.0, 0.0, 5.0], [2.2, 1.0, 5.5]]], np.float32)
+    b.add_triangles(tris[:, 0], tris[:, 1], tris[:, 2], metal)
+    scene = b.build()
+    camera = make_camera((0.0, 0.0, -2.0), (0.0, 0.0, 1.0), (0.0, 1.0, 0.0),
+                         60.0, 1.0)
+    mesh = make_mesh(n_data=8, n_sample=1)
+    params = RenderParams(width=8, height=8, samples_per_pixel=2, max_depth=3)
+    img_single, st_single = render(scene, camera, params)
+    img_sharded, st_sharded = render_sharded(scene, camera, params, mesh)
+    np.testing.assert_allclose(img_single, img_sharded, atol=1e-5)
+    assert st_sharded.rays == st_single.rays
+
+
+def test_sharded_render_pallas_kernel():
+    """use_pallas routes each shard through the bounce megakernel
+    (interpret mode on CPU) and matches the XLA sharded result."""
+    scene, camera = _scene()
+    mesh = make_mesh(n_data=2, n_sample=1, devices=jax.devices()[:2])
+    params = RenderParams(width=16, height=16, samples_per_pixel=2,
+                          max_depth=3)
+    img_x, st_x = render_sharded(scene, camera, params, mesh)
+    img_p, st_p = render_sharded(
+        scene, camera,
+        RenderParams(width=16, height=16, samples_per_pixel=2, max_depth=3,
+                     use_pallas=True, pallas_bounces=4),
+        mesh)
+    assert st_x.rays == st_p.rays
+    assert st_x.samples == st_p.samples
+    diff = np.abs(img_x - img_p)
+    assert np.median(diff) < 1e-5

@@ -64,19 +64,38 @@ def shard_lanes(lanes: jnp.ndarray, mesh: Mesh):
     return jax.device_put(lanes, NamedSharding(mesh, P(DATA_AXIS)))
 
 
-def _sharded_wavefront(mesh: Mesh):
-    """shard_map'd wavefront: each shard traces its pixel rows for its
-    sample slice, pixel sums psum over the sample axis."""
+def _sharded_wavefront(mesh: Mesh, n_slots: int, use_pallas: bool,
+                       n_bounce: int):
+    """shard_map'd wavefront: each shard traces its lane slice (with
+    strided multi-pixel slots, exactly like the single-chip engine) for
+    its sample slice; pixel sums psum over the sample axis.
+
+    ``tri_bvh`` / ``tri_flash`` route the same fast intersection paths as
+    ``render()``; ``use_pallas`` routes sphere-only scenes through the
+    bounce megakernel per shard."""
 
     def fn(scene, camera, pixel_ids, seed, width, height, spp_local,
-           max_depth, sample_starts):
+           max_depth, sample_starts, stride, n_pixels, tri_bvh, tri_flash):
         # pixel_ids: (N/d,) local; sample_starts: (1,) local slice start.
-        slot_sums, counters = wavefront_trace(
-            scene, camera, pixel_ids, seed, width, height,
-            spp_local, max_depth, sample_start=sample_starts[0],
-            n_slots=1,
-        )
-        sums = jax.lax.psum(slot_sums[0], SAMPLE_AXIS)
+        if use_pallas:
+            from zraytrace_tpu.ops.bounce_kernel2 import (
+                wavefront_trace_pallas2,
+            )
+
+            slot_sums, counters = wavefront_trace_pallas2(
+                scene, camera, pixel_ids, seed, width, height,
+                spp_local, max_depth, sample_start=sample_starts[0],
+                n_slots=n_slots, pixel_stride=stride, n_pixels=n_pixels,
+                n_bounce=n_bounce,
+            )
+        else:
+            slot_sums, counters = wavefront_trace(
+                scene, camera, pixel_ids, seed, width, height,
+                spp_local, max_depth, sample_start=sample_starts[0],
+                tri_bvh=tri_bvh, tri_flash=tri_flash,
+                pixel_stride=stride, n_pixels=n_pixels, n_slots=n_slots,
+            )
+        sums = jax.lax.psum(slot_sums, SAMPLE_AXIS)
         return sums, counters[None]
 
     return jax.jit(
@@ -93,8 +112,12 @@ def _sharded_wavefront(mesh: Mesh):
                 P(),  # spp per sample-shard
                 P(),  # max depth
                 P(SAMPLE_AXIS),  # per-shard sample offsets
+                P(),  # lane stride (global)
+                P(),  # n_pixels
+                P(),  # tri_bvh (replicated or None)
+                P(),  # tri_flash (replicated or None)
             ),
-            out_specs=(P(DATA_AXIS), P((DATA_AXIS, SAMPLE_AXIS))),
+            out_specs=(P(None, DATA_AXIS), P((DATA_AXIS, SAMPLE_AXIS))),
             check_vma=False,
         )
     )
@@ -105,10 +128,15 @@ def render_sharded(
 ):
     """Distributed forward render. Returns ``(image (H,W,3), RenderStats)``.
 
-    Pixels shard over ``data`` (padded to a multiple), spp splits over
-    ``sample`` (must divide evenly).
+    Pixels shard over ``data`` (padding lanes idle), spp splits over
+    ``sample`` (must divide evenly). The per-shard engine is the same one
+    ``render()`` picks: strided multi-pixel slots, flash-intersect /
+    BVH triangle routing, optional Pallas megakernel — so per-chip
+    throughput matches the single-chip engine.
     """
     import time
+
+    from zraytrace_tpu.render import maybe_build_bvh
 
     n_data = mesh.shape[DATA_AXIS]
     n_sample = mesh.shape[SAMPLE_AXIS]
@@ -116,28 +144,51 @@ def render_sharded(
     if spp % n_sample:
         raise ValueError(f"spp={spp} must divide over sample axis {n_sample}")
     spp_local = spp // n_sample
-
     n_pixels = w * h
-    lanes = math.ceil(n_pixels / n_data) * n_data
-    ids = np.arange(lanes, dtype=np.int32)
+
+    t0 = time.perf_counter()
+    tri_bvh = maybe_build_bvh(scene, params)
+    tri_flash = None
+    if (tri_bvh is None and scene.n_triangles > 0
+            and jax.default_backend() == "tpu"):
+        from zraytrace_tpu.ops.flash_intersect import pack_tri_planes
+
+        tri_flash = pack_tri_planes(scene.tri_a, scene.tri_b, scene.tri_c)
+    use_pallas = (
+        params.use_pallas and scene.n_triangles == 0 and scene.n_spheres > 0
+    )
+
+    # Shard-local lane-count granularity: flash kernel needs 512-ray
+    # blocks, the megakernel 128-lane rows.
+    gran = n_data * (512 if tri_flash is not None else
+                     128 if use_pallas else 1)
+    n_lanes = min(n_pixels, params.max_wavefront)
+    n_lanes = math.ceil(n_lanes / gran) * gran
+    n_slots = math.ceil(n_pixels / n_lanes)
+    ids = np.arange(n_lanes, dtype=np.int32)
     # Padding lanes get an id >= n_pixels: lane_alive() is false from the
     # start, so they stay idle and contribute nothing to image or counters
     # (re-tracing pixel 0 would over-report RenderStats).
     ids[n_pixels:] = n_pixels
     sample_starts = jnp.arange(n_sample, dtype=jnp.int32) * spp_local
 
-    t0 = time.perf_counter()
     scene_r = replicate(scene, mesh)
     camera_r = replicate(camera, mesh)
+    tri_bvh_r = replicate(tri_bvh, mesh) if tri_bvh is not None else None
+    tri_flash_r = (replicate(tri_flash, mesh)
+                   if tri_flash is not None else None)
     ids_s = shard_lanes(jnp.asarray(ids), mesh)
-    fn = _sharded_wavefront(mesh)
+    fn = _sharded_wavefront(mesh, n_slots, use_pallas,
+                            params.pallas_bounces)
     t1 = time.perf_counter()
     sums, counters = fn(
         scene_r, camera_r, ids_s, params.seed, w, h, spp_local,
-        params.max_depth, sample_starts,
+        params.max_depth, sample_starts, n_lanes, n_pixels,
+        tri_bvh_r, tri_flash_r,
     )
-    sums = np.asarray(sums)[:n_pixels]
-    # (grid, 5, 2) two-limb uint32 -> per-shard ints -> totals (carries
+    # pixel p lives at (slot p // n_lanes, lane p % n_lanes)
+    sums = np.asarray(sums).reshape(n_slots * n_lanes, 3)[:n_pixels]
+    # (grid, 6, 2) two-limb uint32 -> per-shard ints -> totals (carries
     # cannot be summed limb-wise).
     c = np.asarray(counters).astype(np.uint64)
     totals = (c[..., 0] * (1 << 32) + c[..., 1]).sum(axis=0)
