@@ -1,6 +1,7 @@
 """Checkpoint/resume tests (SURVEY.md §5: tile-checkpoint restart)."""
 
 import numpy as np
+import pytest
 
 from zraytrace_tpu.checkpoint import (
     RenderCheckpoint,
@@ -67,3 +68,59 @@ def test_mismatched_config_rejected(tmp_path):
             RenderParams(width=8, height=8, samples_per_pixel=4, max_depth=3),
             p,
         )
+
+
+def test_fit_checkpoint_resume_bitexact(tmp_path):
+    """Interrupted + resumed optimization == uninterrupted optimization,
+    bit for bit (deterministic loss, saved optimizer state)."""
+    import jax.numpy as jnp
+
+    from tests.test_render import _mini_scene
+    from zraytrace_tpu.inverse import fit, split_scene
+    from zraytrace_tpu.render_diff import render_diff
+
+    scene, camera = _mini_scene()
+    w = h = 8
+    target = np.asarray(
+        render_diff(scene, camera, w, h, spp=2, max_depth=2, seed=7))
+    # perturb the start so there is something to optimize
+    params, static = split_scene(scene)
+    from zraytrace_tpu.inverse import merge_scene
+
+    start = merge_scene(
+        {**params, "sph_radius": params["sph_radius"] * 1.05}, static)
+
+    kwargs = dict(width=w, height=h, spp=2, max_depth=2, steps=4,
+                  learning_rate=1e-2, optimize_fields=("sph_radius",))
+    ck = str(tmp_path / "fit.npz")
+
+    # uninterrupted run
+    res_full = fit(start, camera, target, **kwargs)
+    # interrupted at step 2, then resumed
+    fit(start, camera, target, checkpoint_path=ck, checkpoint_every=2,
+        **{**kwargs, "steps": 2})
+    res_resumed = fit(start, camera, target, checkpoint_path=ck,
+                      checkpoint_every=2, **kwargs)
+
+    np.testing.assert_array_equal(
+        np.asarray(res_full.scene.sph_radius),
+        np.asarray(res_resumed.scene.sph_radius))
+    np.testing.assert_array_equal(
+        np.asarray(res_full.losses), np.asarray(res_resumed.losses))
+
+
+def test_fit_checkpoint_rejects_config_change(tmp_path):
+    from tests.test_render import _mini_scene
+    from zraytrace_tpu.inverse import fit
+
+    scene, camera = _mini_scene()
+    w = h = 8
+    target = np.zeros((h, w, 3), np.float32)
+    ck = str(tmp_path / "fit.npz")
+    fit(scene, camera, target, width=w, height=h, spp=2, max_depth=2,
+        steps=1, optimize_fields=("sph_radius",), checkpoint_path=ck,
+        checkpoint_every=1)
+    with pytest.raises(ValueError):
+        fit(scene, camera, target, width=w, height=h, spp=2, max_depth=2,
+            steps=2, optimize_fields=("sph_radius",), seed=99,
+            checkpoint_path=ck, checkpoint_every=1)

@@ -102,6 +102,80 @@ def load_checkpoint(path) -> RenderCheckpoint | None:
         )
 
 
+_FIT_MAGIC = "zraytrace_tpu-fit-v1"
+
+
+def save_fit_checkpoint(path, params, opt_state, step: int, losses,
+                        fingerprint: str = "") -> None:
+    """Checkpoint an inverse-rendering optimization: parameter pytree +
+    optimizer state + step counter (SURVEY.md §5 'and optimizer state for
+    inverse rendering'). Atomic like save_checkpoint."""
+    import jax
+
+    leaves = jax.tree_util.tree_leaves((params, opt_state))
+    d = os.path.dirname(os.path.abspath(path)) or "."
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+    try:
+        payload = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
+        with os.fdopen(fd, "wb") as f:
+            np.savez(
+                f, magic=_FIT_MAGIC, n_leaves=len(leaves), step=step,
+                losses=np.asarray(losses, np.float32),
+                fingerprint=fingerprint, **payload,
+            )
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+
+
+def load_fit_checkpoint(path, params_like, opt_state_like,
+                        fingerprint: str = ""):
+    """Restore (params, opt_state, step, losses) from a fit checkpoint.
+
+    ``params_like`` / ``opt_state_like`` provide the pytree structure
+    (build a fresh optimizer state to get it). Returns None if ``path``
+    does not exist; raises on structure or fingerprint mismatch.
+    """
+    import jax
+
+    if not os.path.exists(path):
+        return None
+    tree = (params_like, opt_state_like)
+    treedef = jax.tree_util.tree_structure(tree)
+    like_leaves = jax.tree_util.tree_leaves(tree)
+    with np.load(path, allow_pickle=False) as z:
+        if str(z["magic"]) != _FIT_MAGIC:
+            raise ValueError(f"{path} is not a {_FIT_MAGIC} checkpoint")
+        if fingerprint and str(z["fingerprint"]) and \
+                str(z["fingerprint"]) != fingerprint:
+            raise ValueError(
+                f"fit checkpoint {path} was written for a different "
+                "scene/target/config"
+            )
+        n = int(z["n_leaves"])
+        if n != len(like_leaves):
+            raise ValueError(
+                f"fit checkpoint {path} has {n} leaves, expected "
+                f"{len(like_leaves)} — optimizer or scene structure changed"
+            )
+        leaves = [jnp_like(z[f"leaf_{i}"], like_leaves[i]) for i in range(n)]
+        params, opt_state = jax.tree_util.tree_unflatten(treedef, leaves)
+        return params, opt_state, int(z["step"]), z["losses"]
+
+
+def jnp_like(arr, like):
+    """Restore a saved leaf with the dtype/weak-type of its template."""
+    import jax.numpy as jnp
+
+    out = jnp.asarray(arr)
+    if hasattr(like, "dtype") and out.dtype != like.dtype:
+        out = out.astype(like.dtype)
+    return out
+
+
 def render_checkpointed(
     scene: Scene,
     camera: cam.Camera,

@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from zraytrace_tpu import vecmath as vm
 from zraytrace_tpu.geometry.triangle import DET_EPS
 
-_BIG = jnp.float32(3.4e38)
+_BIG = np.float32(3.4e38)  # numpy scalar: no backend init at import
 
 LEAF_SIZE = 4
 N_BINS = 16

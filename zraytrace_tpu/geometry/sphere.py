@@ -19,10 +19,11 @@ TPU design notes:
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from zraytrace_tpu import vecmath as vm
 
-_BIG = jnp.float32(3.4e38)  # sentinel "no hit" t, well below f32 inf
+_BIG = np.float32(3.4e38)  # sentinel "no hit" t, well below f32 inf (numpy: import-safe)
 
 # Above this sphere count a one-hot matmul stops being cheaper than a
 # gather; every reference scene has <= 7 spheres.

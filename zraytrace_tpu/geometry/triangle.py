@@ -27,10 +27,11 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from zraytrace_tpu import vecmath as vm
 
-_BIG = jnp.float32(3.4e38)
+_BIG = np.float32(3.4e38)  # numpy scalar: no backend init at import
 DET_EPS = 1e-6  # one-sidedness threshold (triangle.zig:62)
 
 # Chunk of triangles processed per loop step; bounds the (N, CHUNK)

@@ -109,6 +109,8 @@ def fit(
     seed: int = 42,
     optimize_fields: tuple = DIFF_FIELDS,
     fd_fields: tuple = (),
+    checkpoint_path=None,
+    checkpoint_every: int = 10,
 ) -> FitResult:
     """Gradient-descend scene parameters toward a target image.
 
@@ -119,6 +121,11 @@ def fit(
     correlated finite differences instead of autodiff — required for
     parameters whose image effect is dominated by visibility coverage
     (sphere centers/radii, poses). See ``fd_gradients``.
+
+    ``checkpoint_path``: save (params, optimizer state, step) every
+    ``checkpoint_every`` steps and resume from it if present. Because the
+    loss is deterministic (stateless RNG), a resumed fit is bit-identical
+    to an uninterrupted one.
     """
     params, static = split_scene(scene_init)
     target = jnp.asarray(target, jnp.float32)
@@ -140,12 +147,33 @@ def fit(
         return optax.apply_updates(params, updates), opt_state
 
     losses = []
-    for i in range(steps):
+    start = 0
+    fp = ""
+    if checkpoint_path:
+        from zraytrace_tpu.checkpoint import (
+            load_fit_checkpoint, save_fit_checkpoint, scene_fingerprint,
+        )
+
+        fp = scene_fingerprint(
+            static, camera,
+            extra=(width, height, spp, max_depth, seed, learning_rate,
+                   tuple(sorted(optimize_fields)), tuple(sorted(fd_fields))),
+        )
+        resumed = load_fit_checkpoint(checkpoint_path, params, opt_state, fp)
+        if resumed is not None:
+            params, opt_state, start, saved_losses = resumed
+            losses = [jnp.asarray(v) for v in saved_losses]
+
+    for i in range(start, steps):
         loss, grads = vg_jit(params)
         if fd_fields:
             grads = {**grads, **fd_gradients(loss_jit, params, fd_fields)}
         params, opt_state = apply(params, opt_state, grads)
         losses.append(loss)
+        if checkpoint_path and ((i + 1) % checkpoint_every == 0
+                                or i + 1 == steps):
+            save_fit_checkpoint(checkpoint_path, params, opt_state, i + 1,
+                                jnp.stack(losses), fp)
     return FitResult(merge_scene(params, static), jnp.stack(losses))
 
 

@@ -41,7 +41,7 @@ from zraytrace_tpu.ops.bounce_kernel import (
     P_ATLASW, P_HEIGHT, P_MAXDEPTH, P_NPIX, P_NSLOTS, P_SEED, P_SEND,
     P_SSTART, P_STRIDE, P_WIDTH,
     SceneTables,
-    _acos, _atan2, _dot, _normalize, _uniform4,
+    _acos, _atan2, _dot, _normalize,
     prepare_tables,
 )
 
@@ -100,9 +100,12 @@ def make_bounce_kernel2(n_spheres: int, n_mats: int, shape, n_slots: int,
         n_slots_t = params_ref[P_NSLOTS]
         fw = width.astype(jnp.float32)
         fh = height.astype(jnp.float32)
-        seed_u = jnp.asarray(seed, jnp.int32).astype(jnp.uint32)
-        seed_sc = seed_u ^ jnp.uint32(int(zrng.STREAM_SCATTER))
-        seed_cam = seed_u ^ jnp.uint32(int(zrng.STREAM_CAMERA))
+        # stream-xored seeds as int32 (uniform4_i32 is the Mosaic-fast,
+        # bit-identical form of uniform4 — see rng.py / tools/rng_probe.py)
+        as_i32 = lambda u: jnp.int32(u - (1 << 32) if u >= (1 << 31) else u)
+        seed_i = jnp.asarray(seed, jnp.int32)
+        seed_sc = seed_i ^ as_i32(int(zrng.STREAM_SCATTER))
+        seed_cam = seed_i ^ as_i32(int(zrng.STREAM_CAMERA))
 
         ss_o[:] = ss_i[:]
         base = pix_ref[:]
@@ -181,7 +184,7 @@ def make_bounce_kernel2(n_spheres: int, n_mats: int, shape, n_slots: int,
             vv_ = theta * jnp.float32(1.0 / np.pi)
 
             # ---- material attrs (where-chain over the M-row table)
-            r0_, r1_, r2_, _ = _uniform4(seed_sc, pixel, samp, dep)
+            r0_, r1_, r2_, _ = zrng.uniform4_i32(seed_sc, pixel, samp, dep)
 
             def sel(col):
                 out = jnp.zeros(blk, jnp.float32)
@@ -313,8 +316,8 @@ def make_bounce_kernel2(n_spheres: int, n_mats: int, shape, n_slots: int,
 
             # camera regeneration (camera.zig:46-52; raytrace.zig:174)
             pixel2 = base + slot2 * stride
-            j0, j1, _, _ = _uniform4(seed_cam, pixel2, samp2,
-                                     jnp.zeros_like(dep))
+            j0, j1, _, _ = zrng.uniform4_i32(seed_cam, pixel2, samp2,
+                                             jnp.zeros_like(dep))
             pxf = (pixel2 % width).astype(jnp.float32)
             pyf = (pixel2 // width).astype(jnp.float32)
             cu = (pxf + j0 - 0.5) / fw

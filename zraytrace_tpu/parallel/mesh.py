@@ -186,6 +186,13 @@ def render_sharded(
         params.max_depth, sample_starts, n_lanes, n_pixels,
         tri_bvh_r, tri_flash_r,
     )
+    if jax.process_count() > 1:
+        # Multi-controller: outputs are global arrays whose shards live on
+        # other hosts; gather them so every host returns the full image.
+        from jax.experimental import multihost_utils
+
+        sums = multihost_utils.process_allgather(sums, tiled=True)
+        counters = multihost_utils.process_allgather(counters, tiled=True)
     # pixel p lives at (slot p // n_lanes, lane p % n_lanes)
     sums = np.asarray(sums).reshape(n_slots * n_lanes, 3)[:n_pixels]
     # (grid, 6, 2) two-limb uint32 -> per-shard ints -> totals (carries

@@ -26,14 +26,24 @@ import jax
 
 def initialize(**kwargs) -> None:
     """``jax.distributed.initialize`` passthrough; no-op when the process
-    already joined a cluster or runs single-host."""
-    if jax.process_count() > 1:
+    already joined a cluster.
+
+    Must run before any other JAX call — touching the backend first (even
+    ``jax.process_count()``) locks the process into single-controller
+    mode, which is why this checks ``jax.distributed.is_initialized()``
+    rather than the device API. With explicit ``coordinator_address`` /
+    ``num_processes`` / ``process_id`` kwargs a failure to rendezvous is
+    an error and propagates; with no kwargs (auto-detection from cluster
+    env) a standalone run is legitimate and errors are swallowed.
+    """
+    if jax.distributed.is_initialized():
         return
     try:
         jax.distributed.initialize(**kwargs)
     except (ValueError, RuntimeError):
-        # single-host / no cluster env: run standalone
-        pass
+        if kwargs:
+            raise
+        # no cluster env to auto-detect: run standalone
 
 
 def is_coordinator() -> bool:

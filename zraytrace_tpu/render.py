@@ -37,7 +37,7 @@ from zraytrace_tpu.geometry.sphere import intersect_spheres, sphere_surface
 from zraytrace_tpu.geometry.triangle import intersect_triangles, triangle_surface
 from zraytrace_tpu.scene import Scene
 
-_BIG = jnp.float32(3.4e38)
+_BIG = np.float32(3.4e38)  # numpy scalar: no backend init at import
 
 # Counter slots, mirroring Progress (raytrace.zig:20-34), plus wavefront
 # iteration telemetry (lockstep steps executed; the ratio iterations *

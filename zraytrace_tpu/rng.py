@@ -85,6 +85,48 @@ def uniform4(seed, pixel, sample, bounce, stream=STREAM_GENERIC) -> jnp.ndarray:
     return _to_unit_float(pcg4d(ctr))
 
 
+def uniform4_i32(seed_c, pixel, sample, bounce):
+    """``uniform4`` restructured for Mosaic: int32 arithmetic, no stacked
+    ``(..., 4)`` counter, no uint32 ops — bit-identical outputs.
+
+    Mosaic lowers uint32 elementwise chains and the stack/slice pattern of
+    ``pcg4d`` ~10x slower than this form (tools/rng_probe.py: 1.48 ms vs
+    0.14 ms per wavefront iteration at 131k lanes); int32 mul/add wrap
+    identically and the logical shifts become masked arithmetic shifts.
+
+    ``seed_c``: the stream-xored seed as int32 (``seed ^ STREAM_*``).
+    Returns four U[0,1) float32 arrays shaped like ``pixel``.
+    """
+    M = jnp.int32(1664525)
+    A = jnp.int32(1013904223)
+    x = pixel.astype(jnp.int32) * M + A
+    y = jnp.asarray(sample, jnp.int32) * M + A
+    z = jnp.asarray(bounce, jnp.int32) * M + A
+    w = jnp.asarray(seed_c, jnp.int32) * M + A
+    w = jnp.broadcast_to(w, x.shape)
+
+    def rsh16(v):
+        # logical >>16 on int32 bits
+        return (v >> 16) & 0xFFFF
+
+    x = x + y * w
+    y = y + z * x
+    z = z + x * y
+    w = w + y * z
+    x = x ^ rsh16(x)
+    y = y ^ rsh16(y)
+    z = z ^ rsh16(z)
+    w = w ^ rsh16(w)
+    x = x + y * w
+    y = y + z * x
+    z = z + x * y
+    w = w + y * z
+    # top 24 bits -> U[0,1), identical to _to_unit_float
+    k = jnp.float32(1.0 / 16777216.0)
+    u24 = lambda v: ((v >> 8) & 0xFFFFFF).astype(jnp.float32) * k
+    return u24(x), u24(y), u24(z), u24(w)
+
+
 def random_unit_vector(u1: jnp.ndarray, u2: jnp.ndarray) -> jnp.ndarray:
     """Uniform random unit vector from two U[0,1) inputs.
 
