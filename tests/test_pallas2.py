@@ -60,17 +60,17 @@ def test_kernel2_multi_slot_and_B():
     built = three_balls()
     for B in (1, 8):
         sx, cx, sp, cp = _run(built.scene, built.camera, 16, 16, 2, 4,
-                              128, 2, B)
+                              256, 2, B)
         np.testing.assert_array_equal(cx[:5], cp[:5])
         _assert_images_close(sx, sp)
 
 
 def test_kernel2_sample_offset():
     built = three_balls()
-    base = jnp.arange(128, dtype=jnp.int32)
+    base = jnp.arange(256, dtype=jnp.int32)
     sums_a, _ = wavefront_trace_pallas2(
-        built.scene, built.camera, base, 42, 16, 8, 2, 4, 3, 1, 128, 128,
+        built.scene, built.camera, base, 42, 16, 8, 2, 4, 3, 1, 256, 128,
         n_bounce=5)
     sums_b, _ = wavefront_trace(
-        built.scene, built.camera, base, 42, 16, 8, 2, 4, 3, None, 128, 128, 1)
+        built.scene, built.camera, base, 42, 16, 8, 2, 4, 3, None, 256, 128, 1)
     _assert_images_close(np.asarray(sums_a), np.asarray(sums_b))

@@ -1,5 +1,5 @@
-"""Pallas TPU bounce megakernel, round 2: B iterations per launch with
-texel-stall batching (sphere scenes).
+"""Pallas TPU bounce megakernel, round 2: dual-path lanes, dynamic-length
+launches, texel-stall batching (sphere scenes).
 
 The round-1 kernel ran ONE wavefront iteration per launch: per-iteration
 state round-tripped HBM, and the texture-atlas gather (a hardware
@@ -7,19 +7,27 @@ per-row cost of ~5 ns/row that Mosaic cannot beat in-kernel — dim-0
 dynamic_gather does not lower on this backend, tools/gather_probe3.py)
 was paid every iteration for every lane.
 
-This kernel runs ``B`` bounce iterations per launch with all lane state
-live in VMEM. Lanes that scatter off an image-textured material record
-the texel index in a per-lane ``pend`` slot and STALL (idle but alive)
-until the end of the launch; the XLA glue then resolves every pending
-texel with ONE batched gather and multiplies it into throughput before
-the next launch. The gather floor is amortized B-fold at the price of a
-stall-occupancy loss of (1-(1-f)^B)/(fB) where f is the per-ray texel
-rate (~11% on the 7-spheres scene — most paths never touch a texture).
+This kernel keeps lane state in VMEM across many in-kernel iterations:
 
-Stalling preserves exactness: the stateless PCG4D streams are keyed by
-(pixel, sample, bounce), so a stalled lane resumes the identical stream,
-and every counter (rays/reflections/background/recursion/samples) counts
-the same events as the XLA wavefront — tests compare them directly.
+- **Texel-stall batching**: a path that scatters off an image-textured
+  material records the texel index in its ``pend`` slot and stalls; the
+  XLA glue resolves every pending texel with ONE batched gather per
+  launch and multiplies it into throughput. The gather floor is paid per
+  LAUNCH instead of per iteration.
+- **Dual-path lanes**: each physical lane time-multiplexes TWO virtual
+  lanes (pixel sets ``base`` and ``base + N``). When one path stalls on
+  a texel the other keeps tracing, hiding most of the stall latency
+  (~11% of rays on 7-spheres need a texel; both paths stalled is rare).
+- **Dynamic launch length**: the in-kernel loop runs until the runnable
+  fraction drops below half of the live lanes (or ``n_bounce``
+  iterations), so launches stretch long when stalls are rare (tails,
+  const-color scenes) and exit early when texel stalls pile up.
+
+Virtual-lane semantics make all of this exact: the stateless PCG4D
+streams are keyed by (pixel, sample, bounce), so a stalled or
+time-multiplexed path consumes the identical stream, and every counter
+(rays/reflections/background/recursion/samples) counts the same events
+as the XLA wavefront — tests compare them directly.
 
 Reference call-outs as in render.py: rayColor loop raytrace.zig:62-100,
 sphere hit sphere.zig:31-69, materials material.zig:43-128, texture
@@ -47,24 +55,25 @@ from zraytrace_tpu.ops.bounce_kernel import (
 
 N_COUNTS = 8
 
-# Lane rows per grid block. Small blocks keep every (R_BLK, 128)
-# temporary at one-vreg granularity so Mosaic's register allocator stops
-# spilling the straight-line body to VMEM stack (the round-1 kernel at
-# R_BLK=64 held ~24 MB of live temporaries and ran 2.8x slower than XLA;
-# see PERF.md). The grid pipeline hides the extra per-block DMA.
-R_BLK = 8
-# Bounce iterations per launch. Larger B amortizes the glue (texture
-# gather + launch) further but loses more occupancy to texel stalls.
-B_DEFAULT = 8
+# Lane rows per grid block: 64 measured best (tools/pallas2_bench.py —
+# small blocks pay per-grid-step overhead, 128 rows pays VMEM pressure).
+R_BLK = 64
+# Max bounce iterations per launch (the dynamic exit usually fires first
+# on textured scenes; const-color scenes run the full length).
+B_DEFAULT = 16
 
 VMEM_LIMIT = 100 * 1024 * 1024
+
+# number of per-path state arrays carried per virtual lane
+_N_PATH = 17  # o(3) d(3) thr(3) acc(3) dep samp slot pend + base is extra
 
 
 def make_bounce_kernel2(n_spheres: int, n_mats: int, shape, n_slots: int,
                         n_bounce: int, r_blk: int = R_BLK):
-    """Build the pallas_call: ``n_bounce`` wavefront iterations over
-    ``(R, 128)`` lane state, gridded in ``r_blk``-row blocks. Sphere and
-    material counts are static (unrolled where-chains)."""
+    """Build the pallas_call: up to ``n_bounce`` wavefront iterations over
+    two sets of ``(R, 128)`` virtual-lane state, gridded in ``r_blk``-row
+    blocks. Sphere and material counts are static (unrolled
+    where-chains)."""
     R_total, L = shape
     assert L == LANE
     R = min(r_blk, R_total)
@@ -73,21 +82,17 @@ def make_bounce_kernel2(n_spheres: int, n_mats: int, shape, n_slots: int,
     blk = (R, L)
     SP = 3 * n_slots
 
-    def kernel(
-        # SMEM inputs
-        params_ref, cam_ref, sph_ref, mat_ref,
-        # VMEM inputs
-        pix_ref,
-        ox_i, oy_i, oz_i, dx_i, dy_i, dz_i,
-        tr_i, tg_i, tb_i, ar_i, ag_i, ab_i,
-        dep_i, samp_i, slot_i,
-        ss_i,
-        # outputs
-        ox_o, oy_o, oz_o, dx_o, dy_o, dz_o,
-        tr_o, tg_o, tb_o, ar_o, ag_o, ab_o,
-        dep_o, samp_o, slot_o,
-        pend_o, ss_o, counts_o,
-    ):
+    def kernel(*refs):
+        (params_ref, cam_ref, sph_ref, mat_ref,
+         base_a_ref, base_b_ref) = refs[:6]
+        # inputs: 30 path-state arrays (15 per path) + 2 slot-sum planes
+        state_in = refs[6:36]
+        ss_a_in, ss_b_in = refs[36], refs[37]
+        outs = refs[38:]
+        state_out = outs[:32]  # 15 A state, pend_a, 15 B state, pend_b
+        ss_a_out, ss_b_out = outs[32], outs[33]
+        counts_o = outs[34]
+
         width = params_ref[P_WIDTH]
         height = params_ref[P_HEIGHT]
         sample_end = params_ref[P_SEND]
@@ -107,20 +112,50 @@ def make_bounce_kernel2(n_spheres: int, n_mats: int, shape, n_slots: int,
         seed_sc = seed_i ^ as_i32(int(zrng.STREAM_SCATTER))
         seed_cam = seed_i ^ as_i32(int(zrng.STREAM_CAMERA))
 
-        ss_o[:] = ss_i[:]
-        base = pix_ref[:]
+        ss_a_out[:] = ss_a_in[:]
+        ss_b_out[:] = ss_b_in[:]
+        base_a = base_a_ref[:]
+        base_b = base_b_ref[:]
 
-        def iter_body(_, carry):
-            (ox, oy, oz, dx, dy, dz, tr, tg, tb, ar, ag, ab,
-             dep, samp, slot, pend,
-             n_rays, n_refl, n_miss, n_rec, n_samp, n_tex) = carry
-
+        def flags(slot, pend, base):
             pixel = base + slot * stride
             alive = (slot < n_slots_t) & (pixel < n_pixels)
-            stalled = pend >= 0
-            live = alive & ~stalled
-            exhausted = live & (dep >= max_depth)
-            processing = live & ~exhausted
+            return alive, alive & (pend < 0)
+
+        def iter_body(carry):
+            (it,
+             oxa, oya, oza, dxa, dya, dza, tra, tga, tba, ara, aga, aba,
+             depa, sampa, slota, penda,
+             oxb, oyb, ozb, dxb, dyb, dzb, trb, tgb, tbb, arb, agb, abb,
+             depb, sampb, slotb, pendb,
+             n_rays, n_refl, n_miss, n_rec, n_samp, n_tex) = carry
+
+            alive_a, avail_a = flags(slota, penda, base_a)
+            alive_b, avail_b = flags(slotb, pendb, base_b)
+            use_b = ~avail_a & avail_b
+            run = avail_a | avail_b
+
+            s_f = lambda A, B: jnp.where(use_b, B, A)
+            ox = s_f(oxa, oxb)
+            oy = s_f(oya, oyb)
+            oz = s_f(oza, ozb)
+            dx = s_f(dxa, dxb)
+            dy = s_f(dya, dyb)
+            dz = s_f(dza, dzb)
+            tr = s_f(tra, trb)
+            tg = s_f(tga, tgb)
+            tb = s_f(tba, tbb)
+            ar = s_f(ara, arb)
+            ag = s_f(aga, agb)
+            ab = s_f(aba, abb)
+            dep = s_f(depa, depb)
+            samp = s_f(sampa, sampb)
+            slot = s_f(slota, slotb)
+            base = s_f(base_a, base_b)
+
+            pixel = base + slot * stride
+            exhausted = run & (dep >= max_depth)
+            processing = run & ~exhausted
 
             # ---- closest sphere (fused running winner; sphere.zig:31-69)
             BIG = jnp.float32(3.4e38)
@@ -144,7 +179,8 @@ def make_bounce_kernel2(n_spheres: int, n_mats: int, shape, n_slots: int,
                     cx * cx + cy * cy + cz * cz - r * r)
                 disc = half_b * half_b - cc
                 pos = disc > 0.0
-                root = jnp.where(pos, jnp.sqrt(jnp.where(pos, disc, 1.0)), 0.0)
+                root = jnp.where(pos, jnp.sqrt(jnp.where(pos, disc, 1.0)),
+                                 0.0)
                 t1 = -half_b - root
                 t2 = -half_b + root
                 ok1 = (t1 > t_min) & (t1 < BIG)
@@ -277,7 +313,7 @@ def make_bounce_kernel2(n_spheres: int, n_mats: int, shape, n_slots: int,
             ab = ab + mf * tb * skyb
 
             # throughput: const albedo applied here; image texels recorded
-            # in pend and resolved by the glue (the lane stalls meanwhile)
+            # in pend and resolved by the glue (the path stalls meanwhile)
             use_img = textype > 0.5
             alr = jnp.where(is_lam | is_met,
                             jnp.where(use_img, 1.0, col_r), 1.0)
@@ -289,7 +325,7 @@ def make_bounce_kernel2(n_spheres: int, n_mats: int, shape, n_slots: int,
             tg = jnp.where(sc_, tg * alg, tg)
             tb = jnp.where(sc_, tb * alb, tb)
             texneed = sc_ & (is_lam | is_met) & use_img
-            pend = jnp.where(texneed, texflat, pend)
+            pend_new = jnp.where(texneed, texflat, jnp.int32(-1))
 
             ox = jnp.where(sc_, px_, ox)
             oy = jnp.where(sc_, py_, oy)
@@ -303,11 +339,17 @@ def make_bounce_kernel2(n_spheres: int, n_mats: int, shape, n_slots: int,
             samp2 = samp + path_done.astype(jnp.int32)
             finished = path_done & (samp2 >= sample_end)
             fmask = finished.astype(jnp.float32)
+            fa = fmask * (1.0 - use_b.astype(jnp.float32))
+            fb = fmask * use_b.astype(jnp.float32)
             for k in range(n_slots):
-                mk = (fmask * (slot == k).astype(jnp.float32))
-                ss_o[3 * k + 0, :, :] = ss_o[3 * k + 0, :, :] + ar * mk
-                ss_o[3 * k + 1, :, :] = ss_o[3 * k + 1, :, :] + ag * mk
-                ss_o[3 * k + 2, :, :] = ss_o[3 * k + 2, :, :] + ab * mk
+                ka = fa * (slot == k).astype(jnp.float32)
+                kb = fb * (slot == k).astype(jnp.float32)
+                ss_a_out[3 * k + 0, :, :] = ss_a_out[3 * k + 0, :, :] + ar * ka
+                ss_a_out[3 * k + 1, :, :] = ss_a_out[3 * k + 1, :, :] + ag * ka
+                ss_a_out[3 * k + 2, :, :] = ss_a_out[3 * k + 2, :, :] + ab * ka
+                ss_b_out[3 * k + 0, :, :] = ss_b_out[3 * k + 0, :, :] + ar * kb
+                ss_b_out[3 * k + 1, :, :] = ss_b_out[3 * k + 1, :, :] + ag * kb
+                ss_b_out[3 * k + 2, :, :] = ss_b_out[3 * k + 2, :, :] + ab * kb
             ar = jnp.where(finished, 0.0, ar)
             ag = jnp.where(finished, 0.0, ag)
             ab = jnp.where(finished, 0.0, ab)
@@ -342,42 +384,56 @@ def make_bounce_kernel2(n_spheres: int, n_mats: int, shape, n_slots: int,
             tb = jnp.where(pd, 1.0, tb)
             dep = jnp.where(pd, 0, dep)
 
+            # write back to the path that ran
+            wa = run & ~use_b
+            wb = run & use_b
+            pa = lambda A, new: jnp.where(wa, new, A)
+            pb = lambda B, new: jnp.where(wb, new, B)
+            carry_out = (
+                it + 1,
+                pa(oxa, ox), pa(oya, oy), pa(oza, oz),
+                pa(dxa, dx), pa(dya, dy), pa(dza, dz),
+                pa(tra, tr), pa(tga, tg), pa(tba, tb),
+                pa(ara, ar), pa(aga, ag), pa(aba, ab),
+                pa(depa, dep), pa(sampa, samp2), pa(slota, slot2),
+                jnp.where(wa, pend_new, penda),
+                pb(oxb, ox), pb(oyb, oy), pb(ozb, oz),
+                pb(dxb, dx), pb(dyb, dy), pb(dzb, dz),
+                pb(trb, tr), pb(tgb, tg), pb(tbb, tb),
+                pb(arb, ar), pb(agb, ag), pb(abb, ab),
+                pb(depb, dep), pb(sampb, samp2), pb(slotb, slot2),
+                jnp.where(wb, pend_new, pendb),
+            )
             cnt = lambda m: jnp.sum(m.astype(jnp.int32))
-            return (ox, oy, oz, dx, dy, dz, tr, tg, tb, ar, ag, ab,
-                    dep, samp2, slot2, pend,
-                    n_rays + cnt(processing), n_refl + cnt(sc_),
-                    n_miss + cnt(miss), n_rec + cnt(exhausted),
-                    n_samp + cnt(path_done), n_tex + cnt(texneed))
+            return carry_out + (
+                n_rays + cnt(processing), n_refl + cnt(sc_),
+                n_miss + cnt(miss), n_rec + cnt(exhausted),
+                n_samp + cnt(path_done), n_tex + cnt(texneed))
+
+        def cond(carry):
+            it = carry[0]
+            slota, penda = carry[15], carry[16]
+            slotb, pendb = carry[31], carry[32]
+            alive_a, avail_a = flags(slota, penda, base_a)
+            alive_b, avail_b = flags(slotb, pendb, base_b)
+            n_avail = jnp.sum((avail_a | avail_b).astype(jnp.int32))
+            n_alive = jnp.sum((alive_a | alive_b).astype(jnp.int32))
+            # run while at least half the live physical lanes can trace
+            return (it < n_bounce) & (n_avail * 2 > n_alive) & (n_avail > 0)
 
         zero = jnp.int32(0)
-        init = (
-            ox_i[:], oy_i[:], oz_i[:], dx_i[:], dy_i[:], dz_i[:],
-            tr_i[:], tg_i[:], tb_i[:], ar_i[:], ag_i[:], ab_i[:],
-            dep_i[:], samp_i[:], slot_i[:],
+        init = (zero,) + tuple(r[:] for r in state_in[:15]) + (
             jnp.full(blk, -1, jnp.int32),
-            zero, zero, zero, zero, zero, zero,
-        )
-        fin = jax.lax.fori_loop(0, n_bounce, iter_body, init)
-        (ox, oy, oz, dx, dy, dz, tr, tg, tb, ar, ag, ab,
-         dep, samp, slot, pend,
-         n_rays, n_refl, n_miss, n_rec, n_samp, n_tex) = fin
-
-        ox_o[:] = ox
-        oy_o[:] = oy
-        oz_o[:] = oz
-        dx_o[:] = dx
-        dy_o[:] = dy
-        dz_o[:] = dz
-        tr_o[:] = tr
-        tg_o[:] = tg
-        tb_o[:] = tb
-        ar_o[:] = ar
-        ag_o[:] = ag
-        ab_o[:] = ab
-        dep_o[:] = dep
-        samp_o[:] = samp
-        slot_o[:] = slot
-        pend_o[:] = pend
+        ) + tuple(r[:] for r in state_in[15:30]) + (
+            jnp.full(blk, -1, jnp.int32),
+        ) + (zero, zero, zero, zero, zero, zero)
+        # state_in layout: 15 path-A arrays then 15 path-B arrays (pend is
+        # launch-local, reset to -1 after the glue resolves it)
+        fin = jax.lax.while_loop(cond, iter_body, init)
+        it_done = fin[0]
+        for r, v in zip(state_out, fin[1:33]):
+            r[:] = v
+        n_rays, n_refl, n_miss, n_rec, n_samp, n_tex = fin[33:]
 
         i = pl.program_id(0)
         counts_o[i, 0] = n_rays
@@ -385,16 +441,19 @@ def make_bounce_kernel2(n_spheres: int, n_mats: int, shape, n_slots: int,
         counts_o[i, 2] = n_miss
         counts_o[i, 3] = n_rec
         counts_o[i, 4] = n_samp
-        counts_o[i, 5] = jnp.int32(n_bounce)
+        counts_o[i, 5] = it_done
         counts_o[i, 6] = n_tex
         counts_o[i, 7] = jnp.int32(0)
 
     f32 = jnp.float32
     i32 = jnp.int32
     st = lambda dt: jax.ShapeDtypeStruct((R_total, L), dt)
-    out_shape = (
+    ss_shape = jax.ShapeDtypeStruct((SP, R_total, L), f32)
+    # outputs: A state (15) + A pend, B state (15) + B pend => order below
+    out_shape = tuple(
         [st(f32)] * 12 + [st(i32)] * 3 + [st(i32)]
-        + [jax.ShapeDtypeStruct((SP, R_total, L), f32)]
+        + [st(f32)] * 12 + [st(i32)] * 3 + [st(i32)]
+        + [ss_shape, ss_shape]
         + [jax.ShapeDtypeStruct((n_blocks, N_COUNTS), i32)]
     )
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -402,15 +461,16 @@ def make_bounce_kernel2(n_spheres: int, n_mats: int, shape, n_slots: int,
                                     memory_space=pltpu.VMEM)
     ss_blk = lambda: pl.BlockSpec((SP, R, L), lambda i: (0, i, 0),
                                   memory_space=pltpu.VMEM)
-    in_specs = ([smem()] * 4 + [lane_blk()] * 16 + [ss_blk()])
+    in_specs = ([smem()] * 4 + [lane_blk()] * 2 + [lane_blk()] * 30
+                + [ss_blk(), ss_blk()])
     out_specs = tuple(
-        [lane_blk()] * 16 + [ss_blk()]
+        [lane_blk()] * 32 + [ss_blk(), ss_blk()]
         + [pl.BlockSpec(memory_space=pltpu.SMEM)]
     )
     return pl.pallas_call(
         kernel,
         grid=(n_blocks,),
-        out_shape=tuple(out_shape),
+        out_shape=out_shape,
         in_specs=in_specs,
         out_specs=out_specs,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
@@ -430,7 +490,7 @@ def _interpret_mode() -> bool:
 def wavefront_trace_pallas2(
     scene: sc.Scene,
     camera,
-    pixel_base: jnp.ndarray,  # (N,) int32, N divisible by R_BLK*128
+    pixel_base: jnp.ndarray,  # (N,) int32, N divisible by 256
     seed,
     width,
     height,
@@ -443,16 +503,20 @@ def wavefront_trace_pallas2(
     n_bounce: int = B_DEFAULT,
     r_blk: int = R_BLK,
 ):
-    """Same contract as render.wavefront_trace (sphere-only scenes),
-    driven by the B-iteration megakernel. Returns
-    ``(slot_sums (n_slots, N, 3), counters (6, 2))``."""
+    """Same contract as render.wavefront_trace (sphere-only scenes):
+    lane ``i`` of ``pixel_base`` traces pixels ``base[i] + k*stride``.
+    Internally the N virtual lanes pack into N/2 physical lanes (two
+    paths per lane). Returns ``(slot_sums (n_slots, N, 3), counters
+    (6, 2))`` — identical layout and bit-identical sums/counters to the
+    XLA wavefront at matched arguments."""
     from zraytrace_tpu import camera as cam_mod
     from zraytrace_tpu.render import N_COUNTERS, _u64_add
 
     assert scene.n_triangles == 0 and scene.n_spheres > 0
     n = pixel_base.shape[0]
-    assert n % LANE == 0, n
-    R = n // LANE
+    assert n % (2 * LANE) == 0, n
+    half = n // 2
+    R = half // LANE
     assert R % min(r_blk, R) == 0, (R, r_blk)
     shape = (R, LANE)
 
@@ -477,7 +541,6 @@ def wavefront_trace_pallas2(
         jnp.asarray(atlas_w, jnp.int32), jnp.asarray(n_slots, jnp.int32),
     ])
 
-    base2 = pixel_base.reshape(shape)
     j = zrng.uniform4(seed, pixel_base, sstart_i, 0, zrng.STREAM_CAMERA)
     px = (pixel_base % width_i).astype(jnp.float32)
     py = (pixel_base // width_i).astype(jnp.float32)
@@ -485,62 +548,84 @@ def wavefront_trace_pallas2(
                             width_i.astype(jnp.float32),
                             height_i.astype(jnp.float32))
     o0, d0 = cam_mod.get_rays(camera, u, v)
-    r2 = lambda x: x.reshape(shape)
 
+    def path_state(sl):
+        r2 = lambda x: x[sl].reshape(shape)
+        return dict(
+            ox=r2(o0[:, 0]), oy=r2(o0[:, 1]), oz=r2(o0[:, 2]),
+            dx=r2(d0[:, 0]), dy=r2(d0[:, 1]), dz=r2(d0[:, 2]),
+            tr=jnp.ones(shape), tg=jnp.ones(shape), tb=jnp.ones(shape),
+            ar=jnp.zeros(shape), ag=jnp.zeros(shape), ab=jnp.zeros(shape),
+            dep=jnp.zeros(shape, jnp.int32),
+            samp=jnp.full(shape, sstart_i, jnp.int32),
+            slot=jnp.zeros(shape, jnp.int32),
+        )
+
+    KEYS = ("ox", "oy", "oz", "dx", "dy", "dz", "tr", "tg", "tb",
+            "ar", "ag", "ab", "dep", "samp", "slot")
+    base_a = pixel_base[:half].reshape(shape)
+    base_b = pixel_base[half:].reshape(shape)
     state = dict(
-        ox=r2(o0[:, 0]), oy=r2(o0[:, 1]), oz=r2(o0[:, 2]),
-        dx=r2(d0[:, 0]), dy=r2(d0[:, 1]), dz=r2(d0[:, 2]),
-        tr=jnp.ones(shape), tg=jnp.ones(shape), tb=jnp.ones(shape),
-        ar=jnp.zeros(shape), ag=jnp.zeros(shape), ab=jnp.zeros(shape),
-        dep=jnp.zeros(shape, jnp.int32),
-        samp=jnp.full(shape, sstart_i, jnp.int32),
-        slot=jnp.zeros(shape, jnp.int32),
-        slot_sums=jnp.zeros((3 * n_slots, R, LANE), jnp.float32),
+        a=path_state(slice(0, half)), b=path_state(slice(half, None)),
+        ss_a=jnp.zeros((3 * n_slots, R, LANE), jnp.float32),
+        ss_b=jnp.zeros((3 * n_slots, R, LANE), jnp.float32),
         counters=jnp.zeros((N_COUNTERS, 2), jnp.uint32),
     )
     atlas_flat = scene.atlas.reshape(-1, 3)
 
+    def any_alive(p, base):
+        return jnp.any((p["slot"] < n_slots)
+                       & (base + p["slot"] * stride_i < npix_i))
+
     def cond(s):
-        return jnp.any(
-            (s["slot"] < n_slots) & (base2 + s["slot"] * stride_i < npix_i)
-        )
+        return any_alive(s["a"], base_a) | any_alive(s["b"], base_b)
 
     def body(s):
-        outs = kernel(
-            params, tables.cam, tables.spheres, tables.mats, base2,
-            s["ox"], s["oy"], s["oz"], s["dx"], s["dy"], s["dz"],
-            s["tr"], s["tg"], s["tb"], s["ar"], s["ag"], s["ab"],
-            s["dep"], s["samp"], s["slot"], s["slot_sums"],
-        )
-        (ox, oy, oz, dx, dy, dz, tr, tg, tb, ar, ag, ab,
-         dep, samp, slot, pend, slot_sums, counts) = outs
+        args = [params, tables.cam, tables.spheres, tables.mats,
+                base_a, base_b]
+        args += [s["a"][k] for k in KEYS]
+        args += [s["b"][k] for k in KEYS]
+        args += [s["ss_a"], s["ss_b"]]
+        outs = kernel(*args)
+        a_out = dict(zip(KEYS, outs[0:15]))
+        pend_a = outs[15]
+        b_out = dict(zip(KEYS, outs[16:31]))
+        pend_b = outs[31]
+        ss_a, ss_b, counts = outs[32], outs[33], outs[34]
 
-        # the one gather per launch: resolve all pending texels
-        texel = atlas_flat[jnp.maximum(pend, 0)]  # (R, 128, 3)
-        need = pend >= 0
-        tr = jnp.where(need, tr * texel[..., 0], tr)
-        tg = jnp.where(need, tg * texel[..., 1], tg)
-        tb = jnp.where(need, tb * texel[..., 2], tb)
+        # the one gather per launch: resolve both paths' pending texels
+        def resolve(p, pend):
+            texel = atlas_flat[jnp.maximum(pend, 0)]  # (R, 128, 3)
+            need = pend >= 0
+            p = dict(p)
+            p["tr"] = jnp.where(need, p["tr"] * texel[..., 0], p["tr"])
+            p["tg"] = jnp.where(need, p["tg"] * texel[..., 1], p["tg"])
+            p["tb"] = jnp.where(need, p["tb"] * texel[..., 2], p["tb"])
+            return p
+
+        a_out = resolve(a_out, pend_a)
+        b_out = resolve(b_out, pend_b)
 
         counters = s["counters"]
         totals = counts.sum(axis=0)
-        totals = totals.at[5].set(jnp.int32(n_bounce))
+        # slot 5: average in-kernel iterations over blocks (telemetry)
+        totals = totals.at[5].set(totals[5] // jnp.int32(counts.shape[0]))
         for slot_i in range(6):
             counters = counters.at[slot_i].set(
                 _u64_add(counters[slot_i], totals[slot_i].astype(jnp.uint32))
             )
 
-        return dict(
-            ox=ox, oy=oy, oz=oz, dx=dx, dy=dy, dz=dz,
-            tr=tr, tg=tg, tb=tb, ar=ar, ag=ag, ab=ab,
-            dep=dep, samp=samp, slot=slot,
-            slot_sums=slot_sums, counters=counters,
-        )
+        return dict(a=a_out, b=b_out, ss_a=ss_a, ss_b=ss_b,
+                    counters=counters)
 
     final = jax.lax.while_loop(cond, body, state)
-    # (3*n_slots, R, 128) -> (n_slots, N, 3); lane id = row*128 + lane
-    ss = final["slot_sums"].reshape(n_slots, 3, n)
-    sums = jnp.transpose(ss, (0, 2, 1))
+    # (3*n_slots, R, 128) per path -> (n_slots, N, 3); virtual lane i is
+    # physical (path A) for i < N/2 else path B.
+    def unpack(ss):
+        return jnp.transpose(ss.reshape(n_slots, 3, half), (0, 2, 1))
+
+    sums = jnp.concatenate([unpack(final["ss_a"]), unpack(final["ss_b"])],
+                           axis=1)
     return sums, final["counters"]
 
 

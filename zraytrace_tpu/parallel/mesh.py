@@ -161,7 +161,7 @@ def render_sharded(
     # Shard-local lane-count granularity: flash kernel needs 512-ray
     # blocks, the megakernel 128-lane rows.
     gran = n_data * (512 if tri_flash is not None else
-                     128 if use_pallas else 1)
+                     256 if use_pallas else 1)
     n_lanes = min(n_pixels, params.max_wavefront)
     n_lanes = math.ceil(n_lanes / gran) * gran
     n_slots = math.ceil(n_pixels / n_lanes)

@@ -418,7 +418,7 @@ def render(scene: Scene, camera: cam.Camera, params: RenderParams):
         params.use_pallas
         and scene.n_triangles == 0
         and scene.n_spheres > 0
-        and n_lanes % 128 == 0
+        and n_lanes % 256 == 0  # dual-path: 2 virtual lanes per physical
     )
     if use_pallas:
         from zraytrace_tpu.ops.bounce_kernel2 import _wavefront_pallas2_jit
