@@ -41,6 +41,7 @@ def main() -> int:
     import jax.numpy as jnp
 
     from zraytrace_tpu.render import _counters_to_ints, _wavefront_jit, C_ITERS, C_RAYS
+    from zraytrace_tpu.ops.bounce_kernel2 import _wavefront_pallas2_jit
     from zraytrace_tpu.scenes import build_scene
 
     built = build_scene(scene_idx)
@@ -70,12 +71,22 @@ def main() -> int:
     )
     n_slots = -(-n_pixels // n_lanes)
     ids = jnp.arange(n_lanes, dtype=jnp.int32)
+    # The bounce megakernel serves sphere-only scenes (the headline
+    # config); ZRAYTRACE_BENCH_PALLAS=0 forces the XLA wavefront.
+    use_pallas = (scene.n_triangles == 0 and n_lanes % 256 == 0
+                  and os.environ.get("ZRAYTRACE_BENCH_PALLAS", "1") == "1")
 
     def run(n_samples, sample_start=0):
-        sums, counters = _wavefront_jit(
-            scene, camera, ids, 42, size, size, n_samples, depth,
-            sample_start, tri_bvh, n_lanes, n_pixels, n_slots, tri_flash,
-        )
+        if use_pallas:
+            sums, counters = _wavefront_pallas2_jit(
+                scene, camera, ids, 42, size, size, n_samples, depth,
+                sample_start, n_slots, n_lanes, n_pixels,
+            )
+        else:
+            sums, counters = _wavefront_jit(
+                scene, camera, ids, 42, size, size, n_samples, depth,
+                sample_start, tri_bvh, n_lanes, n_pixels, n_slots, tri_flash,
+            )
         jax.block_until_ready(counters)
         # force a real sync through the relay (block_until_ready on its
         # own has been observed not to wait there)

@@ -41,10 +41,11 @@ class RenderParams:
     max_wavefront: int = 1 << 20
     # Use the Pallas megakernel path when available (else pure-XLA wavefront).
     use_pallas: bool = False
-    # Bounce iterations per megakernel launch (ops/bounce_kernel2): larger
-    # amortizes the per-launch texture gather further, smaller loses less
-    # occupancy to texel stalls (PERF.md round 2).
-    pallas_bounces: int = 8
+    # Max bounce iterations per megakernel launch (ops/bounce_kernel2):
+    # launches exit early when texel stalls pile up, so this is a cap;
+    # larger amortizes the per-launch texture gather further (PERF.md
+    # round 2).
+    pallas_bounces: int = 24
     # Minimum triangle count before the BVH pays off. Counterintuitive
     # TPU result (PERF.md): random-index gathers cost ~5ns/row, so the
     # gather-bound stackless traversal loses to brute-force chunked

@@ -1,0 +1,155 @@
+"""Edge-aware (silhouette) gradients for inverse rendering.
+
+The scan renderer's analytic reverse-mode gradients flow through the
+continuous quantities of a FIXED hit topology (t, normal, uv,
+attenuation) — they carry no signal for *visibility*: moving a sphere
+changes which rays hit it, a discontinuous integrand whose derivative
+lives on silhouette boundaries (SURVEY.md §7.7). Round 1 bridged this
+with correlated finite differences (2 renders per scalar,
+inverse.fd_gradients) — unusable for vertex arrays.
+
+This module implements the standard smoothed-indicator estimator of the
+boundary term: per bounce, compute the *signed relative silhouette
+margin* ``m`` of the decisive boundary —
+
+- ray hits a sphere:    m = disc / (2 r^2)  (≈ (r - d_perp)/r > 0)
+- ray hits a triangle:  m = min(u, v, 1-u-v)  (barycentric edge margin)
+- ray misses:           m = -(distance to the nearest silhouette it
+                         almost hit), the max margin over near-missed
+                         primitives in front of the hit/sky
+
+— and multiplies the path throughput by ``w / stop_grad(w)`` with
+``w = sigmoid(m / eps)`` for hit rays and ``(1-w)/stop_grad(1-w)`` for
+miss rays. The factor is exactly 1.0 in the forward pass (images are
+unchanged bit for bit); in the backward pass it contributes
+``d log w = sigmoid'(m/eps) dm / eps`` — rays within ~eps of a
+silhouette push its boundary with the correct sign and weight on both
+sides, which is a consistent O(eps)-biased estimate of the boundary
+integral (the soft-rasterizer / relaxed-visibility construction).
+
+Occlusion boundaries between two overlapping primitives (t-crossings)
+are not modeled — their velocity requires the second-nearest hit and is
+a much smaller term in the reference scenes.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from zraytrace_tpu import vecmath as vm
+from zraytrace_tpu.scene import Scene
+
+_BIG = np.float32(3.4e38)
+
+# Margins are relative (sphere: fraction of radius; triangle:
+# barycentric), so one bandwidth serves both primitive types.
+DEFAULT_EDGE_EPS = 0.01
+
+
+def silhouette_margin(scene: Scene, o, d, h, t_min=1e-3,
+                      tri_chunk: int = 512):
+    """Signed relative silhouette margin per ray, ``(N,)``.
+
+    ``h`` is the hit dict from ``trace_closest`` (hit, t, uv, mat_id...).
+    Positive for hit rays (interior margin of the winning primitive),
+    negative for miss rays (margin of the nearest near-missed silhouette
+    in front of the eventual hit). Differentiable w.r.t. sphere
+    centers/radii and triangle vertices through the recomputation.
+    """
+    n = o.shape[0]
+    hit = h["hit"]
+    # near-misses only matter if their (would-be) intersection lies in
+    # front of what the ray actually hit
+    t_cap = jnp.where(hit, h["t"], _BIG)
+
+    margin_hit_sph = jnp.zeros((n,), jnp.float32)
+    t_best = jnp.full((n,), _BIG)
+    miss_margin = jnp.full((n,), -jnp.inf)
+
+    if scene.n_spheres > 0:
+        o_dot_d = vm.dot(o, d)
+        o_sq = vm.length_squared(o)
+        for s in range(scene.sph_center.shape[0]):
+            c = scene.sph_center[s]
+            r = scene.sph_radius[s]
+            half_b = o_dot_d - d @ c
+            cc = o_sq - 2.0 * (o @ c) + (c @ c - r * r)
+            disc = half_b * half_b - cc
+            m = disc / (2.0 * r * r + 1e-12)
+            pos = disc > 0.0
+            root = jnp.where(pos, jnp.sqrt(jnp.where(pos, disc, 1.0)), 0.0)
+            t1 = -half_b - root
+            t2 = -half_b + root
+            ok1 = (t1 > t_min) & (t1 < _BIG)
+            ok2 = (t2 > t_min) & (t2 < _BIG)
+            t = jnp.where(ok1, t1, t2)
+            valid = (disc >= 0.0) & (ok1 | ok2)
+            better = valid & (t < t_best)
+            t_best = jnp.where(better, t, t_best)
+            margin_hit_sph = jnp.where(better, m, margin_hit_sph)
+            # near miss: tangency point (-half_b) in front, before t_cap
+            near = (disc < 0.0) & (-half_b > t_min) & (-half_b < t_cap)
+            miss_margin = jnp.maximum(miss_margin,
+                                      jnp.where(near, m, -jnp.inf))
+
+    # the scene winner is a triangle iff its t beats every sphere's
+    hit_is_tri = hit & (h["t"] < t_best) & (scene.n_triangles > 0)
+    if scene.n_triangles > 0:
+        u = h["uv"][:, 0]
+        v = h["uv"][:, 1]
+        margin_hit_tri = jnp.minimum(jnp.minimum(u, v), 1.0 - u - v)
+
+        # near-missed triangles: valid front-facing plane crossing in
+        # front of t_cap but outside the barycentric interior
+        from zraytrace_tpu.geometry.triangle import (
+            DET_EPS, pack_triangles,
+        )
+
+        T = scene.tri_a.shape[0]
+        n_chunks = -(-T // tri_chunk)
+        pad = n_chunks * tri_chunk - T
+        pad3 = lambda x: jnp.concatenate(
+            [x, jnp.zeros((pad, 3), x.dtype)], axis=0)
+        pack = pack_triangles(pad3(scene.tri_a), pad3(scene.tri_b),
+                              pad3(scene.tri_c))
+        pack_r = jax.tree_util.tree_map(
+            lambda x: x.reshape((n_chunks, tri_chunk) + x.shape[1:]), pack)
+        oxd = vm.cross(o, d)
+
+        def body(i, mm):
+            p = jax.tree_util.tree_map(lambda x: x[i], pack_r)
+            det = -(d @ p.fn.T)
+            safe = jnp.abs(det) > 1e-12
+            inv_det = 1.0 / jnp.where(safe, det, 1.0)
+            uu = (oxd @ p.e2.T - d @ p.e2xa.T) * inv_det
+            vv = -(oxd @ p.e1.T - d @ p.e1xa.T) * inv_det
+            tt = (o @ p.fn.T - p.a_dot_fn[None, :]) * inv_det
+            m = jnp.minimum(jnp.minimum(uu, vv), 1.0 - uu - vv)
+            near = ((det >= DET_EPS) & (tt > t_min)
+                    & (tt < t_cap[:, None]) & (m < 0.0))
+            m_near = jnp.max(jnp.where(near, m, -jnp.inf), axis=-1)
+            return jnp.maximum(mm, m_near)
+
+        miss_margin = jax.lax.fori_loop(0, n_chunks, body, miss_margin)
+    else:
+        margin_hit_tri = jnp.zeros((n,), jnp.float32)
+
+    margin_hit = jnp.where(hit_is_tri, margin_hit_tri, margin_hit_sph)
+    # rays that near-missed nothing: margin -inf -> sigmoid weight 0 and
+    # zero gradient; clamp to a large negative instead of -inf so the
+    # backward pass stays NaN-free
+    miss_margin = jnp.maximum(miss_margin, -1e3)
+    return jnp.where(hit, margin_hit, miss_margin)
+
+
+def edge_factor(scene: Scene, o, d, h, eps: float = DEFAULT_EDGE_EPS,
+                t_min=1e-3):
+    """Per-ray multiplicative factor: exactly 1.0 forward, silhouette
+    gradient backward. Multiply into path throughput each bounce."""
+    m = silhouette_margin(scene, o, d, h, t_min=t_min)
+    w = jax.nn.sigmoid(m / eps)
+    wh = jnp.where(h["hit"], w, 1.0 - w)
+    wh = jnp.maximum(wh, 1e-6)
+    return wh / jax.lax.stop_gradient(wh)

@@ -49,12 +49,18 @@ def image_loss(img, target):
     return jnp.mean((img - target) ** 2)
 
 
-def make_loss_fn(static, camera, target, width, height, spp, max_depth, seed=42):
-    """Single-device differentiable loss over the full image."""
+def make_loss_fn(static, camera, target, width, height, spp, max_depth,
+                 seed=42, edge_eps=None):
+    """Single-device differentiable loss over the full image.
+
+    ``edge_eps`` enables edge-aware silhouette gradients (edge_grad.py):
+    the loss VALUE is unchanged, its gradient gains visibility terms.
+    """
 
     def loss_fn(params):
         scene = merge_scene(params, static)
-        img = render_diff(scene, camera, width, height, spp, max_depth, seed=seed)
+        img = render_diff(scene, camera, width, height, spp, max_depth,
+                          seed=seed, edge_eps=edge_eps)
         return image_loss(img, target)
 
     return loss_fn
@@ -111,6 +117,7 @@ def fit(
     fd_fields: tuple = (),
     checkpoint_path=None,
     checkpoint_every: int = 10,
+    edge_eps=None,
 ) -> FitResult:
     """Gradient-descend scene parameters toward a target image.
 
@@ -118,9 +125,13 @@ def fit(
     ``("sph_center", "sph_radius")`` for geometry recovery).
 
     ``fd_fields``: subset of optimize_fields whose gradients come from
-    correlated finite differences instead of autodiff — required for
-    parameters whose image effect is dominated by visibility coverage
-    (sphere centers/radii, poses). See ``fd_gradients``.
+    correlated finite differences instead of autodiff — for parameters
+    whose image effect is dominated by visibility coverage when
+    ``edge_eps`` is off. See ``fd_gradients``.
+
+    ``edge_eps``: enable edge-aware analytic silhouette gradients
+    (edge_grad.py) — the preferred replacement for ``fd_fields``; works
+    for vertex arrays where FD is intractable.
 
     ``checkpoint_path``: save (params, optimizer state, step) every
     ``checkpoint_every`` steps and resume from it if present. Because the
@@ -137,7 +148,8 @@ def fit(
         optax.masked(optax.set_to_zero(), {f: not m for f, m in mask.items()}),
     )
     opt_state = optimizer.init(params)
-    loss_fn = make_loss_fn(static, camera, target, width, height, spp, max_depth, seed)
+    loss_fn = make_loss_fn(static, camera, target, width, height, spp,
+                           max_depth, seed, edge_eps=edge_eps)
     loss_jit = jax.jit(loss_fn)
     vg_jit = jax.jit(jax.value_and_grad(loss_fn))
 

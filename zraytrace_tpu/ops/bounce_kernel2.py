@@ -60,7 +60,7 @@ N_COUNTS = 8
 R_BLK = 64
 # Max bounce iterations per launch (the dynamic exit usually fires first
 # on textured scenes; const-color scenes run the full length).
-B_DEFAULT = 16
+B_DEFAULT = 24
 
 VMEM_LIMIT = 100 * 1024 * 1024
 
@@ -69,7 +69,8 @@ _N_PATH = 17  # o(3) d(3) thr(3) acc(3) dep samp slot pend + base is extra
 
 
 def make_bounce_kernel2(n_spheres: int, n_mats: int, shape, n_slots: int,
-                        n_bounce: int, r_blk: int = R_BLK):
+                        n_bounce: int, r_blk: int = R_BLK,
+                        exit_frac: tuple = (1, 4)):
     """Build the pallas_call: up to ``n_bounce`` wavefront iterations over
     two sets of ``(R, 128)`` virtual-lane state, gridded in ``r_blk``-row
     blocks. Sphere and material counts are static (unrolled
@@ -80,18 +81,19 @@ def make_bounce_kernel2(n_spheres: int, n_mats: int, shape, n_slots: int,
     assert R_total % R == 0, (R_total, R)
     n_blocks = R_total // R
     blk = (R, L)
-    SP = 3 * n_slots
+    exit_num, exit_den = exit_frac
 
     def kernel(*refs):
         (params_ref, cam_ref, sph_ref, mat_ref,
          base_a_ref, base_b_ref) = refs[:6]
-        # inputs: 30 path-state arrays (15 per path) + 2 slot-sum planes
+        # inputs: 30 path-state arrays (15 per path)
         state_in = refs[6:36]
-        ss_a_in, ss_b_in = refs[36], refs[37]
-        outs = refs[38:]
-        state_out = outs[:32]  # 15 A state, pend_a, 15 B state, pend_b
-        ss_a_out, ss_b_out = outs[32], outs[33]
-        counts_o = outs[34]
+        outs = refs[36:]
+        # outputs: 15 A state, pend_a, 15 B state, pend_b, then per-path
+        # launch-commit records (rgb + slot, -1 = none) and counters
+        state_out = outs[:32]
+        commit_out = outs[32:40]
+        counts_o = outs[40]
 
         width = params_ref[P_WIDTH]
         height = params_ref[P_HEIGHT]
@@ -112,15 +114,16 @@ def make_bounce_kernel2(n_spheres: int, n_mats: int, shape, n_slots: int,
         seed_sc = seed_i ^ as_i32(int(zrng.STREAM_SCATTER))
         seed_cam = seed_i ^ as_i32(int(zrng.STREAM_CAMERA))
 
-        ss_a_out[:] = ss_a_in[:]
-        ss_b_out[:] = ss_b_in[:]
         base_a = base_a_ref[:]
         base_b = base_b_ref[:]
 
-        def flags(slot, pend, base):
+        def flags(slot, pend, cslot, base):
             pixel = base + slot * stride
             alive = (slot < n_slots_t) & (pixel < n_pixels)
-            return alive, alive & (pend < 0)
+            # a path with a pending texel OR an unflushed pixel commit
+            # stalls until the glue resolves it (commits are flushed per
+            # launch, so any spp is handled exactly)
+            return alive, alive & (pend < 0) & (cslot < 0)
 
         def iter_body(carry):
             (it,
@@ -128,10 +131,11 @@ def make_bounce_kernel2(n_spheres: int, n_mats: int, shape, n_slots: int,
              depa, sampa, slota, penda,
              oxb, oyb, ozb, dxb, dyb, dzb, trb, tgb, tbb, arb, agb, abb,
              depb, sampb, slotb, pendb,
+             cra, cga, cba, csla, crb, cgb, cbb_, cslb,
              n_rays, n_refl, n_miss, n_rec, n_samp, n_tex) = carry
 
-            alive_a, avail_a = flags(slota, penda, base_a)
-            alive_b, avail_b = flags(slotb, pendb, base_b)
+            alive_a, avail_a = flags(slota, penda, csla, base_a)
+            alive_b, avail_b = flags(slotb, pendb, cslb, base_b)
             use_b = ~avail_a & avail_b
             run = avail_a | avail_b
 
@@ -335,21 +339,13 @@ def make_bounce_kernel2(n_spheres: int, n_mats: int, shape, n_slots: int,
             dz = jnp.where(sc_, sz, dz)
             dep = jnp.where(sc_, dep + 1, dep)
 
-            # sample/pixel bookkeeping + in-kernel slot commit
+            # sample/pixel bookkeeping; the finished pixel's sum is
+            # recorded in the launch-commit slot (flushed by the glue —
+            # the path stalls until then, so one record per launch
+            # suffices for any spp)
             samp2 = samp + path_done.astype(jnp.int32)
             finished = path_done & (samp2 >= sample_end)
-            fmask = finished.astype(jnp.float32)
-            fa = fmask * (1.0 - use_b.astype(jnp.float32))
-            fb = fmask * use_b.astype(jnp.float32)
-            for k in range(n_slots):
-                ka = fa * (slot == k).astype(jnp.float32)
-                kb = fb * (slot == k).astype(jnp.float32)
-                ss_a_out[3 * k + 0, :, :] = ss_a_out[3 * k + 0, :, :] + ar * ka
-                ss_a_out[3 * k + 1, :, :] = ss_a_out[3 * k + 1, :, :] + ag * ka
-                ss_a_out[3 * k + 2, :, :] = ss_a_out[3 * k + 2, :, :] + ab * ka
-                ss_b_out[3 * k + 0, :, :] = ss_b_out[3 * k + 0, :, :] + ar * kb
-                ss_b_out[3 * k + 1, :, :] = ss_b_out[3 * k + 1, :, :] + ag * kb
-                ss_b_out[3 * k + 2, :, :] = ss_b_out[3 * k + 2, :, :] + ab * kb
+            com_r, com_g, com_b, com_slot = ar, ag, ab, slot
             ar = jnp.where(finished, 0.0, ar)
             ag = jnp.where(finished, 0.0, ag)
             ab = jnp.where(finished, 0.0, ab)
@@ -387,6 +383,8 @@ def make_bounce_kernel2(n_spheres: int, n_mats: int, shape, n_slots: int,
             # write back to the path that ran
             wa = run & ~use_b
             wb = run & use_b
+            fina = wa & finished
+            finb = wb & finished
             pa = lambda A, new: jnp.where(wa, new, A)
             pb = lambda B, new: jnp.where(wb, new, B)
             carry_out = (
@@ -403,6 +401,14 @@ def make_bounce_kernel2(n_spheres: int, n_mats: int, shape, n_slots: int,
                 pb(arb, ar), pb(agb, ag), pb(abb, ab),
                 pb(depb, dep), pb(sampb, samp2), pb(slotb, slot2),
                 jnp.where(wb, pend_new, pendb),
+                jnp.where(fina, com_r, cra),
+                jnp.where(fina, com_g, cga),
+                jnp.where(fina, com_b, cba),
+                jnp.where(fina, com_slot, csla),
+                jnp.where(finb, com_r, crb),
+                jnp.where(finb, com_g, cgb),
+                jnp.where(finb, com_b, cbb_),
+                jnp.where(finb, com_slot, cslb),
             )
             cnt = lambda m: jnp.sum(m.astype(jnp.int32))
             return carry_out + (
@@ -412,28 +418,34 @@ def make_bounce_kernel2(n_spheres: int, n_mats: int, shape, n_slots: int,
 
         def cond(carry):
             it = carry[0]
-            slota, penda = carry[15], carry[16]
-            slotb, pendb = carry[31], carry[32]
-            alive_a, avail_a = flags(slota, penda, base_a)
-            alive_b, avail_b = flags(slotb, pendb, base_b)
+            slota, penda, csla = carry[15], carry[16], carry[36]
+            slotb, pendb, cslb = carry[31], carry[32], carry[40]
+            alive_a, avail_a = flags(slota, penda, csla, base_a)
+            alive_b, avail_b = flags(slotb, pendb, cslb, base_b)
             n_avail = jnp.sum((avail_a | avail_b).astype(jnp.int32))
             n_alive = jnp.sum((alive_a | alive_b).astype(jnp.int32))
-            # run while at least half the live physical lanes can trace
-            return (it < n_bounce) & (n_avail * 2 > n_alive) & (n_avail > 0)
+            # run while the runnable fraction of live physical lanes
+            # stays above exit_num/exit_den
+            return ((it < n_bounce)
+                    & (n_avail * exit_den > n_alive * exit_num)
+                    & (n_avail > 0))
 
         zero = jnp.int32(0)
-        init = (zero,) + tuple(r[:] for r in state_in[:15]) + (
-            jnp.full(blk, -1, jnp.int32),
-        ) + tuple(r[:] for r in state_in[15:30]) + (
-            jnp.full(blk, -1, jnp.int32),
-        ) + (zero, zero, zero, zero, zero, zero)
-        # state_in layout: 15 path-A arrays then 15 path-B arrays (pend is
-        # launch-local, reset to -1 after the glue resolves it)
+        fz = jnp.zeros(blk, jnp.float32)
+        neg1 = jnp.full(blk, -1, jnp.int32)
+        init = (zero,) + tuple(r[:] for r in state_in[:15]) + (neg1,) \
+            + tuple(r[:] for r in state_in[15:30]) + (neg1,) \
+            + (fz, fz, fz, neg1, fz, fz, fz, neg1) \
+            + (zero, zero, zero, zero, zero, zero)
+        # state_in layout: 15 path-A arrays then 15 path-B arrays (pend
+        # and the commit record are launch-local, reset each launch)
         fin = jax.lax.while_loop(cond, iter_body, init)
         it_done = fin[0]
         for r, v in zip(state_out, fin[1:33]):
             r[:] = v
-        n_rays, n_refl, n_miss, n_rec, n_samp, n_tex = fin[33:]
+        for r, v in zip(commit_out, fin[33:41]):
+            r[:] = v
+        n_rays, n_refl, n_miss, n_rec, n_samp, n_tex = fin[41:]
 
         i = pl.program_id(0)
         counts_o[i, 0] = n_rays
@@ -448,23 +460,20 @@ def make_bounce_kernel2(n_spheres: int, n_mats: int, shape, n_slots: int,
     f32 = jnp.float32
     i32 = jnp.int32
     st = lambda dt: jax.ShapeDtypeStruct((R_total, L), dt)
-    ss_shape = jax.ShapeDtypeStruct((SP, R_total, L), f32)
-    # outputs: A state (15) + A pend, B state (15) + B pend => order below
+    # outputs: A state (15) + A pend, B state (15) + B pend, commit
+    # records (A rgb+slot, B rgb+slot), counters
     out_shape = tuple(
         [st(f32)] * 12 + [st(i32)] * 3 + [st(i32)]
         + [st(f32)] * 12 + [st(i32)] * 3 + [st(i32)]
-        + [ss_shape, ss_shape]
+        + [st(f32)] * 3 + [st(i32)] + [st(f32)] * 3 + [st(i32)]
         + [jax.ShapeDtypeStruct((n_blocks, N_COUNTS), i32)]
     )
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
     lane_blk = lambda: pl.BlockSpec((R, L), lambda i: (i, 0),
                                     memory_space=pltpu.VMEM)
-    ss_blk = lambda: pl.BlockSpec((SP, R, L), lambda i: (0, i, 0),
-                                  memory_space=pltpu.VMEM)
-    in_specs = ([smem()] * 4 + [lane_blk()] * 2 + [lane_blk()] * 30
-                + [ss_blk(), ss_blk()])
+    in_specs = [smem()] * 4 + [lane_blk()] * 2 + [lane_blk()] * 30
     out_specs = tuple(
-        [lane_blk()] * 32 + [ss_blk(), ss_blk()]
+        [lane_blk()] * 40
         + [pl.BlockSpec(memory_space=pltpu.SMEM)]
     )
     return pl.pallas_call(
@@ -502,6 +511,7 @@ def wavefront_trace_pallas2(
     n_pixels=None,
     n_bounce: int = B_DEFAULT,
     r_blk: int = R_BLK,
+    exit_frac: tuple = (1, 4),
 ):
     """Same contract as render.wavefront_trace (sphere-only scenes):
     lane ``i`` of ``pixel_base`` traces pixels ``base[i] + k*stride``.
@@ -523,7 +533,8 @@ def wavefront_trace_pallas2(
     tables = prepare_tables(scene, camera)
     S = int(tables.spheres.shape[0])
     M = int(tables.mats.shape[0])
-    kernel = make_bounce_kernel2(S, M, shape, n_slots, n_bounce, r_blk)
+    kernel = make_bounce_kernel2(S, M, shape, n_slots, n_bounce, r_blk,
+                                 exit_frac)
 
     width_i = jnp.asarray(width, jnp.int32)
     height_i = jnp.asarray(height, jnp.int32)
@@ -585,13 +596,13 @@ def wavefront_trace_pallas2(
                 base_a, base_b]
         args += [s["a"][k] for k in KEYS]
         args += [s["b"][k] for k in KEYS]
-        args += [s["ss_a"], s["ss_b"]]
         outs = kernel(*args)
         a_out = dict(zip(KEYS, outs[0:15]))
         pend_a = outs[15]
         b_out = dict(zip(KEYS, outs[16:31]))
         pend_b = outs[31]
-        ss_a, ss_b, counts = outs[32], outs[33], outs[34]
+        (cra, cga, cba, csla, crb, cgb, cbb, cslb) = outs[32:40]
+        counts = outs[40]
 
         # the one gather per launch: resolve both paths' pending texels
         def resolve(p, pend):
@@ -605,6 +616,18 @@ def wavefront_trace_pallas2(
 
         a_out = resolve(a_out, pend_a)
         b_out = resolve(b_out, pend_b)
+
+        # flush the launch's pixel commits into the slot planes
+        def flush(ss, cr, cg, cb, csl):
+            for k in range(n_slots):
+                m = csl == k
+                ss = ss.at[3 * k + 0].add(jnp.where(m, cr, 0.0))
+                ss = ss.at[3 * k + 1].add(jnp.where(m, cg, 0.0))
+                ss = ss.at[3 * k + 2].add(jnp.where(m, cb, 0.0))
+            return ss
+
+        ss_a = flush(s["ss_a"], cra, cga, cba, csla)
+        ss_b = flush(s["ss_b"], crb, cgb, cbb, cslb)
 
         counters = s["counters"]
         totals = counts.sum(axis=0)

@@ -45,12 +45,19 @@ def trace_paths(
     max_depth: int,  # static: scan trip count
     bilinear_textures: bool = True,
     remat: bool = True,
+    edge_eps: float | None = None,
 ):
     """Radiance of one path per lane, ``(N, 3)``.
 
     ``max_depth`` is static (it is the scan length); everything else is
     traced. ``bilinear_textures`` defaults on — nearest-neighbor lookups
     have zero gradient w.r.t. the hit position.
+
+    ``edge_eps``: when set, multiply the throughput each bounce by the
+    edge_grad factor — forward-identical (factor == 1.0) but the
+    backward pass gains silhouette/visibility gradients with relative
+    bandwidth ``edge_eps`` (see edge_grad.py). Replaces the round-1
+    finite-difference hybrid for coverage terms.
     """
     width = jnp.asarray(width, jnp.int32)
     fw = jnp.asarray(width, jnp.float32)
@@ -73,6 +80,13 @@ def trace_paths(
 
     def bounce(state, depth_idx):
         h = trace_closest(scene, state["o"], state["d"])
+        throughput = state["throughput"]
+        if edge_eps is not None:
+            from zraytrace_tpu.edge_grad import edge_factor
+
+            f = edge_factor(scene, state["o"], state["d"], h, edge_eps)
+            throughput = throughput * jnp.where(
+                state["alive"], f, 1.0)[:, None]
         rnd = zrng.uniform4(seed, pixel_ids, sample_ids, depth_idx, zrng.STREAM_SCATTER)
         new_dir, atten, absorbed = mat.scatter(
             scene, state["d"], h["normal"], h["front_face"], h["uv"], h["mat_id"],
@@ -83,14 +97,14 @@ def trace_paths(
         scattered = alive & h["hit"] & ~absorbed
 
         radiance = state["radiance"] + jnp.where(
-            miss[:, None], state["throughput"] * background_color(state["d"]), 0.0
+            miss[:, None], throughput * background_color(state["d"]), 0.0
         )
         sc3 = scattered[:, None]
         return (
             dict(
                 o=jnp.where(sc3, h["point"], state["o"]),
                 d=jnp.where(sc3, new_dir, state["d"]),
-                throughput=jnp.where(sc3, state["throughput"] * atten, state["throughput"]),
+                throughput=jnp.where(sc3, throughput * atten, throughput),
                 radiance=radiance,
                 alive=scattered,
             ),
@@ -115,6 +129,7 @@ def render_diff(
     seed=42,
     sample_start=0,
     bilinear_textures: bool = True,
+    edge_eps: float | None = None,
 ):
     """Differentiable image ``(H, W, 3)``: mean over ``spp`` paths/pixel.
 
@@ -128,6 +143,7 @@ def render_diff(
         r = trace_paths(
             scene, camera, pixel_ids, jnp.full((n,), s, jnp.int32),
             seed, width, height, max_depth, bilinear_textures,
+            edge_eps=edge_eps,
         )
         return carry + r, None
 
