@@ -58,18 +58,29 @@ def main() -> int:
 
         tri_bvh = build_tri_bvh(scene.tri_a, scene.tri_b, scene.tri_c)
     tri_flash = None
+    tile_coherent = False
     if (tri_bvh is None and scene.n_triangles > 0
             and os.environ.get("ZRAYTRACE_BENCH_FLASH", "1") == "1"):
+        from zraytrace_tpu.geometry.bvh import build_tri_bvh
         from zraytrace_tpu.ops.flash_intersect import pack_tri_planes
 
-        tri_flash = pack_tri_planes(scene.tri_a, scene.tri_b, scene.tri_c)
+        order = build_tri_bvh(scene.tri_a, scene.tri_b,
+                              scene.tri_c).prim_order
+        tri_flash = pack_tri_planes(scene.tri_a, scene.tri_b, scene.tri_c,
+                                    order=order)
+        tile_coherent = True
     n_pixels = size * size
     # 2^17 lanes x 8 slots measured best: occupancy waste ~2.10
     # lane-steps/ray, near the 2.14 rays/sample floor (PERF.md).
     n_lanes = min(
         n_pixels, int(os.environ.get("ZRAYTRACE_BENCH_LANES", str(1 << 17)))
     )
-    n_slots = -(-n_pixels // n_lanes)
+    if tile_coherent:
+        padded = ((size + 63) // 64) * ((size + 7) // 8) * 512
+        n_lanes = min(padded, -(-n_lanes // 512) * 512)
+        n_slots = -(-padded // n_lanes)
+    else:
+        n_slots = -(-n_pixels // n_lanes)
     ids = jnp.arange(n_lanes, dtype=jnp.int32)
     # The bounce megakernel serves sphere-only scenes (the headline
     # config); ZRAYTRACE_BENCH_PALLAS=0 forces the XLA wavefront.
@@ -86,6 +97,7 @@ def main() -> int:
             sums, counters = _wavefront_jit(
                 scene, camera, ids, 42, size, size, n_samples, depth,
                 sample_start, tri_bvh, n_lanes, n_pixels, n_slots, tri_flash,
+                tile_coherent,
             )
         jax.block_until_ready(counters)
         # force a real sync through the relay (block_until_ready on its

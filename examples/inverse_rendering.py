@@ -23,6 +23,9 @@ def main():
     ap.add_argument("--spp", type=int, default=8)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--out", default=None, help="write before/after PNGs")
+    ap.add_argument("--fd", action="store_true",
+                    help="use correlated finite differences for coverage "
+                         "gradients instead of edge-aware analytic ones")
     args = ap.parse_args()
 
     if args.cpu:
@@ -69,14 +72,16 @@ def main():
         static,
     )
 
-    # Albedo gradients are analytic (reverse-mode); sphere center/radius
-    # are coverage-dominated, so their gradients come from correlated
-    # finite differences (fd_fields) — exact including silhouettes.
+    # Sphere center/radius are coverage-dominated. Default: edge-aware
+    # analytic silhouette gradients (edge_grad.py) carry that signal in
+    # ONE backward pass; --fd switches to the correlated
+    # finite-difference fallback (2 renders per scalar).
     result = fit(
         broken, camera, target, w, h, spp=args.spp, max_depth=4,
         steps=args.steps, learning_rate=8e-3, seed=5,
         optimize_fields=("sph_center", "sph_radius", "tex_color"),
-        fd_fields=("sph_center", "sph_radius"),
+        fd_fields=(("sph_center", "sph_radius") if args.fd else ()),
+        edge_eps=(None if args.fd else 0.02),
     )
 
     losses = np.asarray(result.losses)

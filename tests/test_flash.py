@@ -72,3 +72,79 @@ def test_padding_tris_never_hit(rng):
     d = vm.normalize(jnp.asarray(rng.normal(size=(R_RAYS, 3)), jnp.float32))
     t, idx, hit, uv = flash_intersect_triangles(planes, o, d, 1e-3)
     assert (np.asarray(idx)[np.asarray(hit)] < 3).all()
+
+
+def test_tile_coherent_mapping_bitexact():
+    """The 64x8 tile-coherent lane order changes only WHICH lane traces
+    which pixel — per-pixel sums and total counters are bit-identical to
+    the row-major order (pixel ids, and therefore RNG streams, are
+    unchanged)."""
+    import numpy as np
+
+    from tests.test_render import _mini_scene
+    from zraytrace_tpu.render import wavefront_trace
+
+    scene, camera = _mini_scene()
+    w, h = 80, 12  # not multiples of 64/8: exercises partial tiles
+    spp, depth = 2, 3
+    n_pixels = w * h
+
+    base = jnp.arange(n_pixels, dtype=jnp.int32)
+    sums_row, cnt_row = wavefront_trace(
+        scene, camera, base, 42, w, h, spp, depth, 0, None,
+        n_pixels, n_pixels, 1)
+
+    tx, ty = -(-w // 64), -(-h // 8)
+    padded = tx * ty * 512
+    base_t = jnp.arange(padded, dtype=jnp.int32)
+    sums_tile, cnt_tile = wavefront_trace(
+        scene, camera, base_t, 42, w, h, spp, depth, 0, None,
+        padded, n_pixels, 1, None, True)
+
+    # invert the tile map
+    g = np.arange(padded)
+    blk, within = g // 512, g % 512
+    px = (blk % tx) * 64 + within % 64
+    py = (blk // tx) * 8 + within // 64
+    valid = (px < w) & (py < h)
+    flat = np.zeros((n_pixels, 3), np.float32)
+    flat[py[valid] * w + px[valid]] = np.asarray(sums_tile[0])[valid]
+
+    np.testing.assert_array_equal(flat, np.asarray(sums_row[0]))
+    np.testing.assert_array_equal(np.asarray(cnt_row)[:5],
+                                  np.asarray(cnt_tile)[:5])
+
+
+def test_flash_planes_bvh_order_matches_brute():
+    """BVH-ordered planes + the orig-id plane return ORIGINAL triangle
+    indices; results must match the brute intersector."""
+    import numpy as np
+
+    from zraytrace_tpu.geometry.bvh import build_tri_bvh
+    from zraytrace_tpu.geometry.triangle import intersect_triangles
+    from zraytrace_tpu.ops.flash_intersect import (
+        R_RAYS, flash_intersect_triangles, pack_tri_planes,
+    )
+    from zraytrace_tpu.scenes import man_and_ball
+
+    built = man_and_ball()
+    s = built.scene
+    order = build_tri_bvh(s.tri_a, s.tri_b, s.tri_c).prim_order
+    planes = pack_tri_planes(s.tri_a, s.tri_b, s.tri_c, order=order)
+
+    rng = np.random.default_rng(7)
+    n = R_RAYS
+    o = jnp.asarray(rng.random((n, 3)) * 30 - 15, jnp.float32)
+    d0 = rng.standard_normal((n, 3))
+    d = jnp.asarray(d0 / np.linalg.norm(d0, axis=1, keepdims=True),
+                    jnp.float32)
+
+    t_f, i_f, hit_f, uv_f = flash_intersect_triangles(planes, o, d, 1e-3)
+    t_b, i_b, hit_b, uv_b = intersect_triangles(
+        o, d, s.tri_a, s.tri_b, s.tri_c, 1e-3, 3.4e38)
+
+    np.testing.assert_array_equal(np.asarray(hit_f), np.asarray(hit_b))
+    m = np.asarray(hit_b)
+    np.testing.assert_allclose(np.asarray(t_f)[m], np.asarray(t_b)[m],
+                               rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(i_f)[m], np.asarray(i_b)[m])

@@ -11,11 +11,19 @@ flash-attention structure applied to closest-hit:
   (n_chunks, 128) component planes, so every term of the determinant
   form (triangle.zig:48-71 via the scalar-triple-product decomposition,
   geometry/triangle.py) is a rank-1 broadcast multiply — pure VPU, no
-  MXU needed at K=3, no gathers anywhere,
-- outputs one packed (R, 8) row per ray: [t, u, v, idx, hit, ...].
+  MXU (measured unusable here: ~0.36 TFLOP/s f32, tools/flash2_probe.py),
+- **chunk culling** (round 2): triangles are sorted into spatially tight
+  chunks (BVH-leaf order) and each chunk carries an AABB; per grid block
+  the kernel computes conservative ray bounds (origin box + direction
+  intervals) and skips whole chunks whose AABB the block's rays cannot
+  reach — with tile-coherent ray blocks (render.py) primary rays touch
+  ~5% of the teapot's chunks, bounce rays ~50%,
+- outputs one packed (R, 8) row per ray: [t, u, v, orig_idx, hit, ...].
 
 Semantics match intersect_triangles exactly (same one-sidedness, same
-first-wins tie-break via argmin over ascending triangle ids).
+first-wins tie-break — the chunk order changes, so ties between
+DIFFERENT triangles at bit-equal t may pick differently; exact ties of
+distinct triangles do not occur in the reference scenes).
 """
 
 from __future__ import annotations
@@ -39,21 +47,32 @@ LANE = 128
 R_RAYS = 512  # rays (sublanes) per grid block
 
 # packed triangle component planes, each (n_chunks, 128):
-# e1(3) e2(3) fn(3) e2xa(3) e1xa(3) a_dot_fn(1) valid(1)
-N_COMP = 17
+# e1(3) e2(3) fn(3) e2xa(3) e1xa(3) a_dot_fn(1) valid(1) orig_id(1)
+N_COMP = 18
 
 
 class TriPlanes(NamedTuple):
     planes: jnp.ndarray  # (N_COMP, n_chunks, 128) f32
+    bounds: jnp.ndarray  # (n_chunks, 8) f32 chunk AABB [lo3, hi3, 0, 0]
     n_tris: int
 
 
-def pack_tri_planes(a, b, c) -> TriPlanes:
+def pack_tri_planes(a, b, c, order=None) -> TriPlanes:
     """Host/trace-time packing of per-triangle constants into lane
-    planes. Padding triangles have valid=0 (and fn=0 => det=0)."""
+    planes. ``order`` (e.g. a BVH's prim_order) sorts triangles into
+    spatially tight chunks so chunk AABBs cull well; the original
+    triangle id rides along as a plane so callers always see original
+    indices. Padding triangles have valid=0 (and fn=0 => det=0)."""
     T = a.shape[0]
+    if order is not None:
+        order = jnp.asarray(order, jnp.int32)
+        a, b, c = a[order], b[order], c[order]
+        orig = order.astype(jnp.float32)
+    else:
+        orig = jnp.arange(T, dtype=jnp.float32)
     n_chunks = -(-T // LANE)
     pad = n_chunks * LANE - T
+
     def p3(x):
         return jnp.concatenate([x, jnp.zeros((pad, 3), x.dtype)], axis=0)
 
@@ -67,17 +86,29 @@ def pack_tri_planes(a, b, c) -> TriPlanes:
     valid = jnp.concatenate(
         [jnp.ones((T,), jnp.float32), jnp.zeros((pad,), jnp.float32)]
     )
+    orig = jnp.concatenate([orig, jnp.zeros((pad,), jnp.float32)])
     comps = [e1[:, 0], e1[:, 1], e1[:, 2],
              e2[:, 0], e2[:, 1], e2[:, 2],
              fn[:, 0], fn[:, 1], fn[:, 2],
              e2xa[:, 0], e2xa[:, 1], e2xa[:, 2],
              e1xa[:, 0], e1xa[:, 1], e1xa[:, 2],
-             adf, valid]
+             adf, valid, orig]
     planes = jnp.stack([comp.reshape(n_chunks, LANE) for comp in comps])
-    return TriPlanes(planes=planes, n_tris=T)
+
+    # chunk AABBs; padding rows inherit the last real triangle's bounds
+    lo = jnp.minimum(jnp.minimum(a_, b_), c_)
+    hi = jnp.maximum(jnp.maximum(a_, b_), c_)
+    if pad:
+        lo = lo.at[T:].set(lo[T - 1])
+        hi = hi.at[T:].set(hi[T - 1])
+    lo_c = lo.reshape(n_chunks, LANE, 3).min(axis=1)
+    hi_c = hi.reshape(n_chunks, LANE, 3).max(axis=1)
+    bounds = jnp.concatenate(
+        [lo_c, hi_c, jnp.zeros((n_chunks, 2), jnp.float32)], axis=1)
+    return TriPlanes(planes=planes, bounds=bounds, n_tris=T)
 
 
-def _kernel(planes_ref, o_ref, d_ref, tmin_ref, out_ref):
+def _kernel(planes_ref, bounds_ref, o_ref, d_ref, tmin_ref, out_ref):
     n_chunks = planes_ref.shape[1]
     R = o_ref.shape[0]
 
@@ -93,53 +124,101 @@ def _kernel(planes_ref, o_ref, d_ref, tmin_ref, out_ref):
     pzv = ox * dy - oy * dx
     t_min = tmin_ref[0]
 
+    # conservative per-block ray bounds for chunk culling: the block's
+    # rays all start inside [omin, omax] with direction components
+    # inside [dmin, dmax]; a chunk whose AABB the whole interval family
+    # cannot reach is skipped outright (lax.cond — no vector work).
+    omin = [jnp.min(o_ref[:, k]) for k in range(3)]
+    omax = [jnp.max(o_ref[:, k]) for k in range(3)]
+    dmin = [jnp.min(d_ref[:, k]) for k in range(3)]
+    dmax = [jnp.max(d_ref[:, k]) for k in range(3)]
+
+    def chunk_reachable(ci):
+        near = jnp.float32(0.0)
+        far = jnp.float32(_BIG)
+        for ax in range(3):
+            lo = bounds_ref[ci, ax]
+            hi = bounds_ref[ci, 3 + ax]
+            dl, dh = dmin[ax], dmax[ax]
+            # numerator intervals of (bound - o)
+            n1a = lo - omax[ax]
+            n1b = lo - omin[ax]
+            n2a = hi - omax[ax]
+            n2b = hi - omin[ax]
+            # if the direction interval spans 0 this axis constrains
+            # nothing (conservative)
+            spans = (dl <= 0.0) & (dh >= 0.0)
+            inv_l = 1.0 / jnp.where(spans, 1.0, dl)
+            inv_h = 1.0 / jnp.where(spans, 1.0, dh)
+            c0 = n1a * inv_l
+            c1 = n1a * inv_h
+            c2 = n1b * inv_l
+            c3 = n1b * inv_h
+            c4 = n2a * inv_l
+            c5 = n2a * inv_h
+            c6 = n2b * inv_l
+            c7 = n2b * inv_h
+            ax_near = jnp.minimum(
+                jnp.minimum(jnp.minimum(c0, c1), jnp.minimum(c2, c3)),
+                jnp.minimum(jnp.minimum(c4, c5), jnp.minimum(c6, c7)))
+            ax_far = jnp.maximum(
+                jnp.maximum(jnp.maximum(c0, c1), jnp.maximum(c2, c3)),
+                jnp.maximum(jnp.maximum(c4, c5), jnp.maximum(c6, c7)))
+            near = jnp.where(spans, near, jnp.maximum(near, ax_near))
+            far = jnp.where(spans, far, jnp.minimum(far, ax_far))
+        return near <= far
+
     def chunk_body(ci, carry):
-        t_best, u_best, v_best, i_best = carry
-        pr = lambda k: planes_ref[k, ci, :][None, :]  # (1, 128)
-        e1x, e1y, e1z = pr(0), pr(1), pr(2)
-        e2x, e2y, e2z = pr(3), pr(4), pr(5)
-        fnx, fny, fnz = pr(6), pr(7), pr(8)
-        qax, qay, qaz = pr(9), pr(10), pr(11)  # e2 x a
-        rax, ray_, raz = pr(12), pr(13), pr(14)  # e1 x a
-        adf = pr(15)
-        valid = pr(16)
+        def live(carry):
+            t_best, u_best, v_best, i_best = carry
+            pr = lambda k: planes_ref[k, ci, :][None, :]  # (1, 128)
+            e1x, e1y, e1z = pr(0), pr(1), pr(2)
+            e2x, e2y, e2z = pr(3), pr(4), pr(5)
+            fnx, fny, fnz = pr(6), pr(7), pr(8)
+            qax, qay, qaz = pr(9), pr(10), pr(11)  # e2 x a
+            rax, ray_, raz = pr(12), pr(13), pr(14)  # e1 x a
+            adf = pr(15)
+            valid = pr(16)
+            orig = pr(17)
 
-        det = -(dx * fnx + dy * fny + dz * fnz)
-        safe = jnp.abs(det) > 1e-12
-        inv_det = 1.0 / jnp.where(safe, det, 1.0)
-        # u = (oxd).e2 - d.(e2 x a); v = -((oxd).e1 - d.(e1 x a))
-        u = (pxv * e2x + pyv * e2y + pzv * e2z
-             - (dx * qax + dy * qay + dz * qaz)) * inv_det
-        v = -(pxv * e1x + pyv * e1y + pzv * e1z
-              - (dx * rax + dy * ray_ + dz * raz)) * inv_det
-        t = (ox * fnx + oy * fny + oz * fnz - adf) * inv_det
-        # t_best tightens the window across chunks exactly like the
-        # reference's recursive t_max tightening (bvh.zig:196-203);
-        # result-identical (the running-winner select already kept the
-        # first-lowest), it just keeps the comparison window tight.
-        is_hit = ((det >= DET_EPS) & (t > t_min) & (t < t_best[:, None])
-                  & (u >= 0.0) & (v >= 0.0)
-                  & (u + v <= 1.0) & (valid > 0.5))
-        t = jnp.where(is_hit, t, _BIG)
+            det = -(dx * fnx + dy * fny + dz * fnz)
+            safe = jnp.abs(det) > 1e-12
+            inv_det = 1.0 / jnp.where(safe, det, 1.0)
+            # u = (oxd).e2 - d.(e2 x a); v = -((oxd).e1 - d.(e1 x a))
+            u = (pxv * e2x + pyv * e2y + pzv * e2z
+                 - (dx * qax + dy * qay + dz * qaz)) * inv_det
+            v = -(pxv * e1x + pyv * e1y + pzv * e1z
+                  - (dx * rax + dy * ray_ + dz * raz)) * inv_det
+            t = (ox * fnx + oy * fny + oz * fnz - adf) * inv_det
+            # t_best tightens the window across chunks like the
+            # reference's recursive t_max tightening (bvh.zig:196-203)
+            is_hit = ((det >= DET_EPS) & (t > t_min)
+                      & (t < t_best[:, None])
+                      & (u >= 0.0) & (v >= 0.0)
+                      & (u + v <= 1.0) & (valid > 0.5))
+            t = jnp.where(is_hit, t, _BIG)
 
-        tc = jnp.min(t, axis=1, keepdims=True)  # (R, 1)
-        lane_ids = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
-        first = t == tc  # may tie; argmin-by-lowest-lane below
-        lane_of_min = jnp.min(
-            jnp.where(first, lane_ids, jnp.int32(LANE)), axis=1, keepdims=True
-        )
-        sel = lane_ids == lane_of_min
-        pick = lambda x: jnp.sum(jnp.where(sel, x, 0.0), axis=1, keepdims=True)
-        uc = pick(u)
-        vc = pick(v)
-        ic = ci * LANE + lane_of_min
+            tc = jnp.min(t, axis=1, keepdims=True)  # (R, 1)
+            lane_ids = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
+            first = t == tc  # may tie; argmin-by-lowest-lane below
+            lane_of_min = jnp.min(
+                jnp.where(first, lane_ids, jnp.int32(LANE)), axis=1,
+                keepdims=True)
+            sel = lane_ids == lane_of_min
+            pick = lambda x: jnp.sum(jnp.where(sel, x, 0.0), axis=1,
+                                     keepdims=True)
+            uc = pick(u)
+            vc = pick(v)
+            ic = pick(jnp.broadcast_to(orig, t.shape)).astype(jnp.int32)
 
-        better = tc[:, 0] < t_best
-        t_best = jnp.where(better, tc[:, 0], t_best)
-        u_best = jnp.where(better, uc[:, 0], u_best)
-        v_best = jnp.where(better, vc[:, 0], v_best)
-        i_best = jnp.where(better, ic[:, 0], i_best)
-        return t_best, u_best, v_best, i_best
+            better = tc[:, 0] < t_best
+            t_best = jnp.where(better, tc[:, 0], t_best)
+            u_best = jnp.where(better, uc[:, 0], u_best)
+            v_best = jnp.where(better, vc[:, 0], v_best)
+            i_best = jnp.where(better, ic[:, 0], i_best)
+            return t_best, u_best, v_best, i_best
+
+        return jax.lax.cond(chunk_reachable(ci), live, lambda c: c, carry)
 
     init = (
         jnp.full((R,), _BIG),
@@ -160,8 +239,8 @@ def _kernel(planes_ref, o_ref, d_ref, tmin_ref, out_ref):
 
 def flash_intersect_triangles(planes: TriPlanes, o, d, t_min):
     """Closest triangle per ray; same contract as intersect_triangles:
-    returns (t (N,), idx (N,) i32, hit (N,) bool, uv (N,2)). N must be a
-    multiple of R_RAYS."""
+    returns (t (N,), idx (N,) i32 ORIGINAL ids, hit (N,) bool, uv (N,2)).
+    N must be a multiple of R_RAYS."""
     n = o.shape[0]
     assert n % R_RAYS == 0, n
     n_blocks = n // R_RAYS
@@ -172,6 +251,7 @@ def flash_intersect_triangles(planes: TriPlanes, o, d, t_min):
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),  # planes, full
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # chunk bounds
             pl.BlockSpec((R_RAYS, 3), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((R_RAYS, 3), lambda i: (i, 0),
@@ -185,7 +265,7 @@ def flash_intersect_triangles(planes: TriPlanes, o, d, t_min):
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=jax.default_backend() == "cpu",
-    )(planes.planes, o, d, tmin_arr)
+    )(planes.planes, planes.bounds, o, d, tmin_arr)
 
     t = out[:, 0]
     uv = out[:, 1:3]

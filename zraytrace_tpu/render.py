@@ -211,6 +211,7 @@ def wavefront_trace(
     n_pixels=None,
     n_slots: int = 1,
     tri_flash=None,
+    tile_coherent: bool = False,
 ):
     """Trace samples ``[sample_start, sample_start + spp)`` for a set of
     pixels per lane. Returns (slot_sums (n_slots, N, 3), counters (6,2)).
@@ -243,6 +244,7 @@ def wavefront_trace(
     )
     fw = width.astype(jnp.float32)
     fh = height.astype(jnp.float32)
+    tiles_x = (width + 63) // 64
 
     def camera_rays(pixel_ids, sample_idx):
         j = zrng.uniform4(seed, pixel_ids, sample_idx, 0, zrng.STREAM_CAMERA)
@@ -251,7 +253,27 @@ def wavefront_trace(
         u, v = cam.pixel_uv(px, py, j[:, 0], j[:, 1], fw, fh)
         return cam.get_rays(camera, u, v)
 
-    pixel0 = pixel_base
+    def lane_pixel(slot):
+        g = pixel_base + slot * pixel_stride
+        if not tile_coherent:
+            return g
+        # Tile-coherent order: consecutive 512-lane groups map to 64x8
+        # pixel tiles instead of image rows. Pixel IDS are unchanged (RNG
+        # streams, counters and per-pixel sums are bit-identical); only
+        # which lane traces which pixel moves, which makes ray blocks
+        # spatially tight so the flash kernel's chunk culling bites
+        # (PERF.md round 2). Out-of-image positions of partial tiles map
+        # to n_pixels (idle lanes).
+        blk = g // 512
+        within = g % 512
+        bx = blk % tiles_x
+        by = blk // tiles_x
+        px = bx * 64 + within % 64
+        py = by * 8 + within // 64
+        return jnp.where((px < width) & (py < height),
+                         py * width + px, n_pixels)
+
+    pixel0 = lane_pixel(jnp.zeros((n,), jnp.int32))
     o0, d0 = camera_rays(pixel0, jnp.full((n,), sample_start, jnp.int32))
     state = dict(
         o=o0,
@@ -264,9 +286,6 @@ def wavefront_trace(
         slot_sums=jnp.zeros((n_slots, n, 3), jnp.float32),
         counters=jnp.zeros((N_COUNTERS, 2), jnp.uint32),
     )
-
-    def lane_pixel(slot):
-        return pixel_base + slot * pixel_stride
 
     def lane_alive(slot):
         return (slot < n_slots) & (lane_pixel(slot) < n_pixels)
@@ -361,7 +380,9 @@ def wavefront_trace(
     return final["slot_sums"], final["counters"]
 
 
-_wavefront_jit = jax.jit(wavefront_trace, static_argnames=("n_slots",))
+_wavefront_jit = jax.jit(
+    wavefront_trace, static_argnames=("n_slots", "tile_coherent")
+)
 
 
 def _counters_to_ints(counters: np.ndarray) -> list[int]:
@@ -402,14 +423,24 @@ def render(scene: Scene, camera: cam.Camera, params: RenderParams):
     # Flash-intersect kernel: streaming VMEM triangle intersection
     # (ops/flash_intersect.py) — the fast mesh path on real TPUs; the
     # interpreter-mode kernel is slow, so CPU uses the XLA brute path.
+    # Triangles are sorted into BVH-leaf order so the kernel's chunk
+    # AABBs are spatially tight, and lanes map to 64x8 pixel tiles so
+    # ray blocks are coherent enough for chunk culling to bite.
     tri_flash = None
+    tile_coherent = False
     if (tri_bvh is None and scene.n_triangles > 0
             and jax.default_backend() == "tpu"):
+        from zraytrace_tpu.geometry.bvh import build_tri_bvh
         from zraytrace_tpu.ops.flash_intersect import pack_tri_planes
 
-        tri_flash = pack_tri_planes(scene.tri_a, scene.tri_b, scene.tri_c)
-        n_lanes = -(-n_lanes // 512) * 512  # flash needs 512-ray blocks
-        n_slots = math.ceil(n_pixels / n_lanes)
+        order = build_tri_bvh(scene.tri_a, scene.tri_b,
+                              scene.tri_c).prim_order
+        tri_flash = pack_tri_planes(scene.tri_a, scene.tri_b, scene.tri_c,
+                                    order=order)
+        tile_coherent = True
+        padded = ((w + 63) // 64) * ((h + 7) // 8) * 512
+        n_lanes = min(padded, -(-n_lanes // 512) * 512)
+        n_slots = math.ceil(padded / n_lanes)
 
     stats = RenderStats(pixels=n_pixels)
     t1 = time.perf_counter()
@@ -432,9 +463,23 @@ def render(scene: Scene, camera: cam.Camera, params: RenderParams):
         sums, counters = _wavefront_jit(
             scene, camera, base, params.seed, w, h, spp, params.max_depth,
             0, tri_bvh, n_lanes, n_pixels, n_slots, tri_flash,
+            tile_coherent,
         )
-    # pixel p lives at (slot p // n_lanes, lane p % n_lanes)
-    sums = np.asarray(sums).reshape(n_slots * n_lanes, 3)[:n_pixels]
+    sums = np.asarray(sums).reshape(n_slots * n_lanes, 3)
+    if tile_coherent:
+        # invert the 64x8 tile map: global index g -> pixel id
+        g = np.arange(n_slots * n_lanes, dtype=np.int64)
+        blk, within = g // 512, g % 512
+        tx = (w + 63) // 64
+        px = (blk % tx) * 64 + within % 64
+        py = (blk // tx) * 8 + within // 64
+        valid = (px < w) & (py < h)
+        flat = np.zeros((n_pixels, 3), sums.dtype)
+        flat[(py[valid] * w + px[valid])] = sums[valid]
+        sums = flat
+    else:
+        # pixel p lives at (slot p // n_lanes, lane p % n_lanes)
+        sums = sums[:n_pixels]
     image_np = (sums / spp).reshape(h, w, 3)
     totals = np.asarray(counters, np.uint64)
     t2 = time.perf_counter()
