@@ -148,9 +148,7 @@ def probe_flash1():
 def main():
     sel = sys.argv[1:] or ["mm", "mm_elem", "flash1"]
     for name in sel:
-        fn = {"mm": probe_mm, "mm_elem": probe_mm_elem,
-              "flash1": probe_flash1, "mm128": probe_mm128,
-              "mm_xla": probe_mm_xla}[name]
+        fn = globals()[f"probe_{name}"]
         try:
             t0 = time.time()
             out = fn()
@@ -213,6 +211,168 @@ def probe_mm_xla():
         _force(f(lhs, rhs))
     dt = (time.time() - t0) / 3 / REPS
     return f"{dt*1e6:.2f} us per (512,{K})@({K},{4*G}) in XLA"
+
+
+
+
+def probe_cull():
+    """If chunk culling truly skips, rays aimed away from the scene
+    should run ~10x faster than rays into it."""
+    from zraytrace_tpu.geometry.bvh import build_tri_bvh
+    from zraytrace_tpu.ops.flash_intersect import (
+        flash_intersect_triangles, pack_tri_planes,
+    )
+    from zraytrace_tpu.scenes import teapot_and_ball
+
+    built = teapot_and_ball()
+    sc = built.scene
+    order = build_tri_bvh(sc.tri_a, sc.tri_b, sc.tri_c).prim_order
+    planes = pack_tri_planes(sc.tri_a, sc.tri_b, sc.tri_c, order=order)
+    rng = np.random.default_rng(0)
+    n = 1 << 16
+    o = jnp.asarray(rng.random((n, 3)) * 4 - 2, jnp.float32)
+    d0 = rng.standard_normal((n, 3))
+    d_in = jnp.asarray(d0 / np.linalg.norm(d0, axis=1, keepdims=True),
+                       jnp.float32)
+    # away: origins far above, directions straight up
+    o_away = o + jnp.asarray([0.0, 100.0, 0.0])
+    d_away = jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0]), (n, 3))
+    f = jax.jit(lambda o, d: flash_intersect_triangles(planes, o, d, 1e-3))
+    out = []
+    for name, oo, dd in (("into", o, d_in), ("away", o_away, d_away)):
+        _force(f(oo, dd)[0])
+        t0 = time.time()
+        for _ in range(3):
+            _force(f(oo, dd)[0])
+        dt = (time.time() - t0) / 3
+        out.append(f"{name}={dt*1e3:.1f}ms")
+    return " ".join(out)
+
+
+
+
+def probe_cullwhen():
+    """pl.when + out_ref mutation instead of lax.cond carries: does
+    Mosaic generate a real branch?"""
+    from zraytrace_tpu.geometry.bvh import build_tri_bvh
+    from zraytrace_tpu.ops.flash_intersect import (
+        LANE, N_COMP, pack_tri_planes,
+    )
+    from zraytrace_tpu.scenes import teapot_and_ball
+
+    built = teapot_and_ball()
+    sc = built.scene
+    order = build_tri_bvh(sc.tri_a, sc.tri_b, sc.tri_c).prim_order
+    planes = pack_tri_planes(sc.tri_a, sc.tri_b, sc.tri_c, order=order)
+    RB = 512
+
+    def kernel(planes_ref, bounds_ref, o_ref, d_ref, out_ref):
+        n_chunks = planes_ref.shape[1]
+        ox = o_ref[:, 0:1]
+        oy = o_ref[:, 1:2]
+        oz = o_ref[:, 2:3]
+        dx = d_ref[:, 0:1]
+        dy = d_ref[:, 1:2]
+        dz = d_ref[:, 2:3]
+        pxv = oy * dz - oz * dy
+        pyv = oz * dx - ox * dz
+        pzv = ox * dy - oy * dx
+        omin = [jnp.min(o_ref[:, k]) for k in range(3)]
+        omax = [jnp.max(o_ref[:, k]) for k in range(3)]
+        dmin = [jnp.min(d_ref[:, k]) for k in range(3)]
+        dmax = [jnp.max(d_ref[:, k]) for k in range(3)]
+
+        def reach(ci):
+            near = jnp.float32(0.0)
+            far = jnp.float32(3.4e38)
+            for ax in range(3):
+                lo = bounds_ref[ci, ax]
+                hi = bounds_ref[ci, 3 + ax]
+                dl, dh = dmin[ax], dmax[ax]
+                spans = (dl <= 0.0) & (dh >= 0.0)
+                il = 1.0 / jnp.where(spans, 1.0, dl)
+                ih = 1.0 / jnp.where(spans, 1.0, dh)
+                cs = [(lo - omax[ax]) * il, (lo - omax[ax]) * ih,
+                      (lo - omin[ax]) * il, (lo - omin[ax]) * ih,
+                      (hi - omax[ax]) * il, (hi - omax[ax]) * ih,
+                      (hi - omin[ax]) * il, (hi - omin[ax]) * ih]
+                lo_t = cs[0]
+                hi_t = cs[0]
+                for cc in cs[1:]:
+                    lo_t = jnp.minimum(lo_t, cc)
+                    hi_t = jnp.maximum(hi_t, cc)
+                near = jnp.where(spans, near, jnp.maximum(near, lo_t))
+                far = jnp.where(spans, far, jnp.minimum(far, hi_t))
+            return near <= far
+
+        out_ref[:, 0] = jnp.full((RB,), 3.4e38)
+
+        def chunk_body(ci, _):
+            @pl.when(reach(ci))
+            def _():
+                pr = lambda k: planes_ref[k, ci, :][None, :]
+                e1x, e1y, e1z = pr(0), pr(1), pr(2)
+                e2x, e2y, e2z = pr(3), pr(4), pr(5)
+                fnx, fny, fnz = pr(6), pr(7), pr(8)
+                qax, qay, qaz = pr(9), pr(10), pr(11)
+                rax, ray_, raz = pr(12), pr(13), pr(14)
+                adf = pr(15)
+                valid = pr(16)
+                t_best = out_ref[:, 0]
+                det = -(dx * fnx + dy * fny + dz * fnz)
+                safe = jnp.abs(det) > 1e-12
+                inv_det = 1.0 / jnp.where(safe, det, 1.0)
+                u = (pxv * e2x + pyv * e2y + pzv * e2z
+                     - (dx * qax + dy * qay + dz * qaz)) * inv_det
+                v = -(pxv * e1x + pyv * e1y + pzv * e1z
+                      - (dx * rax + dy * ray_ + dz * raz)) * inv_det
+                t = (ox * fnx + oy * fny + oz * fnz - adf) * inv_det
+                is_hit = ((det >= 1e-6) & (t > 1e-3)
+                          & (t < t_best[:, None])
+                          & (u >= 0.0) & (v >= 0.0)
+                          & (u + v <= 1.0) & (valid > 0.5))
+                t = jnp.where(is_hit, t, 3.4e38)
+                tc = jnp.min(t, axis=1)
+                out_ref[:, 0] = jnp.minimum(t_best, tc)
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+
+    f = jax.jit(pl.pallas_call(
+        kernel,
+        grid=(1 << 16) // RB,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((RB, 3), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((RB, 3), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((RB, 8), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1 << 16, 8), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=jax.default_backend() == "cpu",
+    ))
+    rng = np.random.default_rng(0)
+    n = 1 << 16
+    o = jnp.asarray(rng.random((n, 3)) * 4 - 2, jnp.float32)
+    d0 = rng.standard_normal((n, 3))
+    d_in = jnp.asarray(d0 / np.linalg.norm(d0, axis=1, keepdims=True),
+                       jnp.float32)
+    o_away = o + jnp.asarray([0.0, 100.0, 0.0])
+    d_away = jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0]), (n, 3))
+    out = []
+    for name, oo, dd in (("into", o, d_in), ("away", o_away, d_away)):
+        _force(f(planes.planes, planes.bounds, oo, dd))
+        t0 = time.time()
+        for _ in range(3):
+            _force(f(planes.planes, planes.bounds, oo, dd))
+        dt = (time.time() - t0) / 3
+        out.append(f"{name}={dt*1e3:.1f}ms")
+    return " ".join(out)
 
 
 if __name__ == "__main__":

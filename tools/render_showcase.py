@@ -1,9 +1,12 @@
 #!/usr/bin/env python
-"""Render showcase images on the TPU, reusing the bench-shaped compiled
-programs (warm compile cache).
+"""Render showcase images on the TPU and record render stats.
 
-    python tools/render_showcase.py out/showcase --scene 1 --spp 1000
-    python tools/render_showcase.py out/showcase --scene 3 --spp 100
+    python tools/render_showcase.py showcase --scene 1 --spp 1000
+    python tools/render_showcase.py showcase --scene 0 --scene 2 --scene 4
+
+Mesh scenes route through the chunk-culled flash kernel with BVH-ordered
+triangles and tile-coherent lanes — the same engine bench.py measures.
+Appends a stats line per render to <outdir>/SWEEP.md.
 """
 
 import argparse
@@ -20,66 +23,108 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def render_scene(scene_idx, outdir, spp=None, size=None, depth=None,
+                 lanes=1 << 17, chunk_spp=25):
+    from zraytrace_tpu.geometry.bvh import build_tri_bvh
+    from zraytrace_tpu.io.png import write_png
+    from zraytrace_tpu.render import _counters_to_ints, _wavefront_jit
+    from zraytrace_tpu.scenes import build_scene
+
+    if scene_idx == 1:
+        size = size or 1000
+        spp = spp or 1000
+        depth = depth or 30
+    else:
+        size = size or 700
+        spp = spp or 100
+        depth = depth or 20
+
+    out = Path(outdir)
+    out.mkdir(parents=True, exist_ok=True)
+
+    built = build_scene(scene_idx)
+    scene = built.scene
+    tri_flash = None
+    tile = False
+    if scene.n_triangles > 0:
+        from zraytrace_tpu.ops.flash_intersect import pack_tri_planes
+
+        order = build_tri_bvh(scene.tri_a, scene.tri_b,
+                              scene.tri_c).prim_order
+        tri_flash = pack_tri_planes(scene.tri_a, scene.tri_b, scene.tri_c,
+                                    order=order)
+        tile = True
+
+    n_pix = size * size
+    if tile:
+        tx, ty = -(-size // 64), -(-size // 8)
+        padded = tx * ty * 512
+        n_lanes = min(padded, -(-min(lanes, n_pix) // 512) * 512)
+        n_slots = -(-padded // n_lanes)
+    else:
+        n_lanes = min(lanes, n_pix)
+        n_slots = -(-n_pix // n_lanes)
+    base = jnp.arange(n_lanes, dtype=jnp.int32)
+
+    t0 = time.time()
+    total = np.zeros((n_slots, n_lanes, 3), np.float64)
+    counters = np.zeros((6, 2), np.uint64)
+    done = 0
+    while done < spp:
+        step = min(chunk_spp, spp - done)
+        sums, cnts = _wavefront_jit(
+            built.scene, built.camera, base, 42, size, size, step, depth,
+            done, None, n_lanes, n_pix, n_slots, tri_flash, tile,
+        )
+        jax.block_until_ready(cnts)
+        _ = float(jnp.sum(cnts[0]).astype(jnp.float32))
+        total += np.asarray(sums, np.float64)
+        counters += np.asarray(cnts, np.uint64)
+        done += step
+    dt = time.time() - t0
+
+    flat = total.reshape(n_slots * n_lanes, 3)
+    if tile:
+        g = np.arange(n_slots * n_lanes, dtype=np.int64)
+        blk, within = g // 512, g % 512
+        tx = -(-size // 64)
+        px = (blk % tx) * 64 + within % 64
+        py = (blk // tx) * 8 + within // 64
+        valid = (px < size) & (py < size)
+        dst = np.zeros((n_pix, 3), np.float64)
+        dst[py[valid] * size + px[valid]] = flat[valid]
+        flat = dst
+    else:
+        flat = flat[:n_pix]
+    img = (flat / spp).reshape(size, size, 3).astype(np.float32)
+    path = out / f"{built.name}_{size}x{size}_{spp}spp.png"
+    write_png(path, img)
+
+    rays, refl, bg, rec, samples, iters = _counters_to_ints(counters)
+    line = (f"| {scene_idx} {built.name} | {size}x{size} | {spp} | {depth} "
+            f"| {rays} | {refl} | {bg} | {rec} | {rays/dt/1e6:.2f}M | "
+            f"{dt:.1f}s |")
+    assert samples == n_pix * spp, (samples, n_pix * spp)
+    assert rays == refl + samples - rec, "counter identity"
+    with open(out / "SWEEP.md", "a") as f:
+        f.write(line + "\n")
+    print(f"wrote {path} in {dt:.1f}s  {rays/dt/1e6:.2f}M rays/s",
+          file=sys.stderr, flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("outdir")
-    ap.add_argument("--scene", type=int, default=1)
+    ap.add_argument("--scene", type=int, action="append", required=True)
     ap.add_argument("--spp", type=int, default=None)
     ap.add_argument("--size", type=int, default=None)
     ap.add_argument("--depth", type=int, default=None)
     ap.add_argument("--lanes", type=int, default=1 << 17)
     ap.add_argument("--chunk-spp", type=int, default=25)
     args = ap.parse_args()
-
-    from zraytrace_tpu.io.png import write_png
-    from zraytrace_tpu.render import _wavefront_jit
-    from zraytrace_tpu.scenes import build_scene
-
-    # bench-matching defaults per scene
-    if args.scene == 3:
-        size = args.size or 700
-        spp = args.spp or 100
-        depth = args.depth or 20
-    else:
-        size = args.size or 1000
-        spp = args.spp or 1000
-        depth = args.depth or 30
-
-    out = Path(args.outdir)
-    out.mkdir(parents=True, exist_ok=True)
-
-    built = build_scene(args.scene)
-    scene = built.scene
-    tri_flash = None
-    if scene.n_triangles > 0:
-        from zraytrace_tpu.ops.flash_intersect import pack_tri_planes
-
-        tri_flash = pack_tri_planes(scene.tri_a, scene.tri_b, scene.tri_c)
-
-    n_pix = size * size
-    n_lanes = min(args.lanes, n_pix)
-    n_slots = -(-n_pix // n_lanes)
-    base = jnp.arange(n_lanes, dtype=jnp.int32)
-
-    t0 = time.time()
-    total = np.zeros((n_slots, n_lanes, 3), np.float64)
-    done = 0
-    while done < spp:
-        step = min(args.chunk_spp, spp - done)
-        sums, counters = _wavefront_jit(
-            built.scene, built.camera, base, 42, size, size, step, depth,
-            done, None, n_lanes, n_pix, n_slots, tri_flash,
-        )
-        jax.block_until_ready(counters)
-        total += np.asarray(sums, np.float64)
-        done += step
-    dt = time.time() - t0
-
-    sums = total.reshape(n_slots * n_lanes, 3)[:n_pix]
-    img = (sums / spp).reshape(size, size, 3).astype(np.float32)
-    path = out / f"{built.name}_{size}x{size}_{spp}spp.png"
-    write_png(path, img)
-    print(f"wrote {path} in {dt:.1f}s", file=sys.stderr)
+    for sidx in args.scene:
+        render_scene(sidx, args.outdir, args.spp, args.size, args.depth,
+                     args.lanes, args.chunk_spp)
 
 
 if __name__ == "__main__":

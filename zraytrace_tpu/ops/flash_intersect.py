@@ -12,12 +12,15 @@ flash-attention structure applied to closest-hit:
   form (triangle.zig:48-71 via the scalar-triple-product decomposition,
   geometry/triangle.py) is a rank-1 broadcast multiply — pure VPU, no
   MXU (measured unusable here: ~0.36 TFLOP/s f32, tools/flash2_probe.py),
-- **chunk culling** (round 2): triangles are sorted into spatially tight
-  chunks (BVH-leaf order) and each chunk carries an AABB; per grid block
-  the kernel computes conservative ray bounds (origin box + direction
-  intervals) and skips whole chunks whose AABB the block's rays cannot
-  reach — with tile-coherent ray blocks (render.py) primary rays touch
-  ~5% of the teapot's chunks, bounce rays ~50%,
+- **chunk culling** (round 2): triangles are sorted into spatially
+  tight chunks (BVH-leaf order) and each chunk carries an AABB; per
+  grid block the kernel computes conservative ray bounds (origin box x
+  direction intervals) and guards each chunk with lax.cond. Mosaic does
+  NOT fully skip the guarded body (an all-cullable workload still ran
+  at ~60% cost, tools/flash2_probe.py), but the guard is a measured
+  1.34x net win on the teapot bench (1.195M vs 0.895M rays/s) — with
+  tile-coherent ray blocks (render.py) primary rays touch ~5% of the
+  teapot's chunks, bounce rays ~50%,
 - outputs one packed (R, 8) row per ray: [t, u, v, orig_idx, hit, ...].
 
 Semantics match intersect_triangles exactly (same one-sidedness, same
