@@ -44,6 +44,7 @@ def render_scene(scene_idx, outdir, spp=None, size=None, depth=None,
 
     built = build_scene(scene_idx)
     scene = built.scene
+    use_pallas = scene.n_triangles == 0  # megakernel: the bench engine
     tri_flash = None
     tile = False
     if scene.n_triangles > 0:
@@ -72,10 +73,21 @@ def render_scene(scene_idx, outdir, spp=None, size=None, depth=None,
     done = 0
     while done < spp:
         step = min(chunk_spp, spp - done)
-        sums, cnts = _wavefront_jit(
-            built.scene, built.camera, base, 42, size, size, step, depth,
-            done, None, n_lanes, n_pix, n_slots, tri_flash, tile,
-        )
+        if use_pallas:
+            from zraytrace_tpu.ops.bounce_kernel2 import (
+                _wavefront_pallas2_jit,
+            )
+
+            sums, cnts = _wavefront_pallas2_jit(
+                built.scene, built.camera, base, 42, size, size, step,
+                depth, done, n_slots, n_lanes, n_pix,
+            )
+        else:
+            sums, cnts = _wavefront_jit(
+                built.scene, built.camera, base, 42, size, size, step,
+                depth, done, None, n_lanes, n_pix, n_slots, tri_flash,
+                tile,
+            )
         jax.block_until_ready(cnts)
         _ = float(jnp.sum(cnts[0]).astype(jnp.float32))
         total += np.asarray(sums, np.float64)

@@ -46,13 +46,16 @@ class RenderParams:
     # larger amortizes the per-launch texture gather further (PERF.md
     # round 2).
     pallas_bounces: int = 24
-    # Minimum triangle count before the BVH pays off. Counterintuitive
-    # TPU result (PERF.md): random-index gathers cost ~5ns/row, so the
-    # gather-bound stackless traversal loses to brute-force chunked
-    # matmul intersection (MXU + streaming reads) until ~50-100k
-    # triangles. The reference's own threshold is 10 surfaces
-    # (raytrace.zig:127) — correct for a scalar CPU, wrong for a TPU.
-    bvh_min_triangles: int = 30000
+    # Minimum triangle count before the gather-bound BVH traversal is
+    # used instead of the streaming flash kernel. Counterintuitive TPU
+    # result (PERF.md): random-index gathers cost ~5ns/row, so lockstep
+    # traversal loses to chunk streaming at EVERY measured size — and
+    # the flash kernel now consumes the BVH anyway (its leaf order makes
+    # chunks spatially tight). The traversal stays available (tested,
+    # and the right answer on gather-friendly backends); effectively
+    # disabled by default. The reference's own threshold is 10 surfaces
+    # (raytrace.zig:127) — correct for a scalar CPU, wrong here.
+    bvh_min_triangles: int = 1 << 30
 
     def __post_init__(self):
         if self.width <= 0 or self.height <= 0:
