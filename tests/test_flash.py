@@ -76,9 +76,10 @@ def test_padding_tris_never_hit(rng):
 
 def test_tile_coherent_mapping_bitexact():
     """The 64x8 tile-coherent lane order changes only WHICH lane traces
-    which pixel — per-pixel sums and total counters are bit-identical to
-    the row-major order (pixel ids, and therefore RNG streams, are
-    unchanged)."""
+    which pixel — event counters are bit-identical to the row-major
+    order and per-pixel sums agree to float rounding (identical sample
+    streams; XLA may contract FMAs differently across the two program
+    shapes)."""
     import numpy as np
 
     from tests.test_render import _mini_scene
@@ -96,10 +97,14 @@ def test_tile_coherent_mapping_bitexact():
 
     tx, ty = -(-w // 64), -(-h // 8)
     padded = tx * ty * 512
-    base_t = jnp.arange(padded, dtype=jnp.int32)
+    # multi-slot: lanes cross invalid padding positions mid-sequence and
+    # must skip them without dying (the scene-0 sweep bug)
+    n_lanes, n_slots = 512, padded // 512
+    base_t = jnp.arange(n_lanes, dtype=jnp.int32)
     sums_tile, cnt_tile = wavefront_trace(
         scene, camera, base_t, 42, w, h, spp, depth, 0, None,
-        padded, n_pixels, 1, None, True)
+        n_lanes, n_pixels, n_slots, None, True)
+    sums_tile = jnp.asarray(sums_tile).reshape(padded, 3)[None]
 
     # invert the tile map
     g = np.arange(padded)
@@ -110,7 +115,8 @@ def test_tile_coherent_mapping_bitexact():
     flat = np.zeros((n_pixels, 3), np.float32)
     flat[py[valid] * w + px[valid]] = np.asarray(sums_tile[0])[valid]
 
-    np.testing.assert_array_equal(flat, np.asarray(sums_row[0]))
+    np.testing.assert_allclose(flat, np.asarray(sums_row[0]),
+                               rtol=1e-5, atol=1e-6)
     np.testing.assert_array_equal(np.asarray(cnt_row)[:5],
                                   np.asarray(cnt_tile)[:5])
 

@@ -291,6 +291,12 @@ def wavefront_trace(
         return (slot < n_slots) & (lane_pixel(slot) < n_pixels)
 
     def cond(s):
+        if tile_coherent:
+            # invalid (partial-tile padding) positions interleave with
+            # valid ones across a lane's slot sequence; a lane parked on
+            # one advances a slot per iteration (see body) and must stay
+            # in the loop until its slots are exhausted
+            return jnp.any(s["slot"] < n_slots)
         return jnp.any(lane_alive(s["slot"]))
 
     def body(s):
@@ -358,17 +364,27 @@ def wavefront_trace(
                 slot_sums[k] + jnp.where(commit_k, acc, 0.0)
             )
         acc = jnp.where(pixel_finished[:, None], 0.0, acc)
-        slot = s["slot"] + pixel_finished.astype(jnp.int32)
+        advance = pixel_finished
+        if tile_coherent:
+            # a lane whose CURRENT slot maps to an invalid padding
+            # position skips it (one slot per iteration) — later slots
+            # may still map to real pixels
+            skip = (s["slot"] < n_slots) & (pixel_ids >= n_pixels)
+            advance = advance | skip
+            sample_idx = jnp.where(skip, sample_start, sample_idx)
+        slot = s["slot"] + advance.astype(jnp.int32)
         sample_idx = jnp.where(pixel_finished, sample_start, sample_idx)
 
-        # Regenerate the next camera sample on lanes whose path just ended.
+        # Regenerate the next camera sample on lanes whose path just
+        # ended (or that just skipped an invalid padding slot).
+        regen = path_done | advance
         new_pixel = lane_pixel(slot)
         o_new, d_new = camera_rays(new_pixel, sample_idx)
-        pd3 = path_done[:, None]
+        pd3 = regen[:, None]
         o = jnp.where(pd3, o_new, o)
         d = jnp.where(pd3, d_new, d)
         throughput = jnp.where(pd3, 1.0, throughput)
-        path_depth = jnp.where(path_done, 0, path_depth)
+        path_depth = jnp.where(regen, 0, path_depth)
 
         return dict(
             o=o, d=d, throughput=throughput, acc=acc, path_depth=path_depth,
