@@ -1,0 +1,133 @@
+#!/usr/bin/env python
+"""Goat-class capability proof: render a >100k-triangle scene on TPU.
+
+The reference's scene 5 needs high_poly_goat.obj (~110k triangles),
+which is absent from the upstream repo (.MISSING_LARGE_BLOBS). This
+probe builds a synthetic stand-in — a 5x5 grid of teapots (158,000
+triangles) on the ground sphere — and renders it through the same
+chunk-streaming flash path as the other mesh scenes, demonstrating that
+the framework has a working fast path at goat scale (the VMEM-streamed
+planes for 158k triangles are ~11 MB; nothing is size-limited short of
+HBM).
+
+    python tools/goat_probe.py [--spp 4] [--size 256]
+"""
+
+import argparse
+import sys
+import time
+
+from zraytrace_tpu.runtime import enable_compilation_cache
+
+enable_compilation_cache()
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build_goat_class_scene():
+    from zraytrace_tpu import scene as sc
+    from zraytrace_tpu.camera import make_camera
+    from zraytrace_tpu.io.obj import read_obj
+    from zraytrace_tpu.scenes import assets_dir
+
+    model = read_obj(assets_dir() / "teapot/teapot.obj")
+    a, b, c = (np.asarray(x) for x in model.tri_vertices)
+
+    bld = sc.SceneBuilder()
+    green = bld.add_lambertian_color(sc.COLOR_GREEN)
+    bld.add_sphere((0.0, -102.33, 7.0), 100.0, green)
+    blue = bld.add_metal_color(sc.COLOR_BLUE)
+    parts_a, parts_b, parts_c = [], [], []
+    for gx in range(5):
+        for gz in range(5):
+            off = np.asarray(
+                [(gx - 2) * 8.0, 0.0, (gz - 2) * 8.0], np.float32)
+            parts_a.append(a + off)
+            parts_b.append(b + off)
+            parts_c.append(c + off)
+    bld.add_triangles(np.concatenate(parts_a), np.concatenate(parts_b),
+                      np.concatenate(parts_c), blue)
+    camera = make_camera((0.0, 8.0, -30.0), (0.0, 0.0, 1.0),
+                         (0.0, 1.0, 0.0), 55.0, 1.0)
+    return bld.build(), camera
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--spp", type=int, default=4)
+    ap.add_argument("--size", type=int, default=256)
+    ap.add_argument("--depth", type=int, default=8)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    from zraytrace_tpu.geometry.bvh import build_tri_bvh
+    from zraytrace_tpu.ops.flash_intersect import pack_tri_planes
+    from zraytrace_tpu.render import _counters_to_ints, _wavefront_jit
+
+    scene, camera = build_goat_class_scene()
+    print(f"synthetic goat-class scene: {scene.n_triangles} triangles",
+          file=sys.stderr, flush=True)
+
+    t0 = time.time()
+    order = build_tri_bvh(scene.tri_a, scene.tri_b, scene.tri_c).prim_order
+    planes = pack_tri_planes(scene.tri_a, scene.tri_b, scene.tri_c,
+                             order=order)
+    print(f"BVH order + planes in {time.time()-t0:.2f}s "
+          f"({planes.planes.nbytes/1e6:.1f} MB of plane data)",
+          file=sys.stderr, flush=True)
+
+    size = args.size
+    n_pix = size * size
+    tx, ty = -(-size // 64), -(-size // 8)
+    padded = tx * ty * 512
+    n_lanes = min(padded, 1 << 17)
+    n_slots = -(-padded // n_lanes)
+    base = jnp.arange(n_lanes, dtype=jnp.int32)
+
+    def run(spp, start):
+        sums, cnts = _wavefront_jit(
+            scene, camera, base, 42, size, size, spp, args.depth,
+            start, None, n_lanes, n_pix, n_slots, planes, True,
+        )
+        _ = float(jnp.sum(cnts[0]).astype(jnp.float32))
+        return sums, cnts
+
+    t0 = time.time()
+    run(1, 0)
+    compile_s = time.time() - t0
+    t0 = time.time()
+    total = np.zeros((n_slots, n_lanes, 3), np.float64)
+    counters = np.zeros((6, 2), np.uint64)
+    for s in range(args.spp):
+        sums, cnts = run(1, 1 + s)
+        total += np.asarray(sums, np.float64)
+        counters += np.asarray(cnts, np.uint64)
+    dt = time.time() - t0
+
+    rays, refl, bg, rec, samples, iters = _counters_to_ints(counters)
+    assert samples == n_pix * args.spp
+    assert rays == refl + samples - rec
+    print(f"goat-class: {rays} rays in {dt:.1f}s = "
+          f"{rays/dt/1e3:.1f}k rays/s  (compile {compile_s:.0f}s)",
+          flush=True)
+
+    if args.out:
+        from zraytrace_tpu.io.png import write_png
+
+        flat = total.reshape(n_slots * n_lanes, 3)
+        g = np.arange(n_slots * n_lanes)
+        blk, within = g // 512, g % 512
+        px = (blk % tx) * 64 + within % 64
+        py = (blk // tx) * 8 + within // 64
+        valid = (px < size) & (py < size)
+        dst = np.zeros((n_pix, 3), np.float64)
+        dst[py[valid] * size + px[valid]] = flat[valid]
+        img = (dst / args.spp).reshape(size, size, 3).astype(np.float32)
+        write_png(args.out, img)
+        print(f"wrote {args.out}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,7 +1,8 @@
 #!/usr/bin/env python
 """Bench the round-2 bounce megakernel (bounce_kernel2) on real TPU.
 
-Usage: python tools/pallas2_bench.py [rblk,B ...]   (default: 8,8)
+Usage: python tools/pallas2_bench.py [rblk,B[,exit_num,exit_den] ...]
+(default: 64,24). Env: ZRAYTRACE_PROBE_SPP/_SIZE, ZRAYTRACE_PROBE_LANES.
 
 Renders 7-spheres at 1000x1000 depth 30 with a probe spp (default 20,
 ZRAYTRACE_PROBE_SPP) on 2^17 lanes x 8 slots — the official bench
@@ -28,14 +29,20 @@ from zraytrace_tpu.scenes import three_balls
 SIZE = int(os.environ.get("ZRAYTRACE_PROBE_SIZE", "1000"))
 DEPTH = 30
 SPP = int(os.environ.get("ZRAYTRACE_PROBE_SPP", "20"))
-N_LANES = 1 << 17
+N_LANES = int(os.environ.get("ZRAYTRACE_PROBE_LANES", str(1 << 17)))
 
 
 def main():
     from zraytrace_tpu.ops.bounce_kernel2 import _wavefront_pallas2_jit
 
-    combos = [tuple(int(x) for x in a.split(",")) for a in sys.argv[1:]
-              if "," in a] or [(8, 8)]
+    combos = []
+    for a in sys.argv[1:]:
+        if "," not in a:
+            continue
+        parts = [int(x) for x in a.split(",")]
+        combos.append((parts[0], parts[1],
+                       tuple(parts[2:4]) if len(parts) >= 4 else (1, 4)))
+    combos = combos or [(64, 24, (1, 4))]
     built = three_balls()
     scene, camera = built.scene, built.camera
     n_pixels = SIZE * SIZE
@@ -45,12 +52,12 @@ def main():
           f"slots={n_slots} size={SIZE} depth={DEPTH} spp={SPP}",
           file=sys.stderr, flush=True)
 
-    for r_blk, B in combos:
+    for r_blk, B, efrac in combos:
         def run(spp, sample_start=0):
             sums, counters = _wavefront_pallas2_jit(
                 scene, camera, ids, 42, SIZE, SIZE, spp, DEPTH,
                 sample_start, n_slots, N_LANES, n_pixels,
-                n_bounce=B, r_blk=r_blk,
+                n_bounce=B, r_blk=r_blk, exit_frac=efrac,
             )
             _ = float(jnp.sum(counters[0]).astype(jnp.float32))
             return counters
@@ -60,8 +67,8 @@ def main():
             run(1)
         except Exception as e:
             msg = " / ".join(str(e).split("\n")[:2])[:300]
-            print(f"[FAIL] rblk={r_blk} B={B}: {type(e).__name__}: {msg}",
-                  flush=True)
+            print(f"[FAIL] rblk={r_blk} B={B} exit={efrac}: "
+                  f"{type(e).__name__}: {msg}", flush=True)
             continue
         compile_s = time.time() - t0
         t0 = time.time()
@@ -69,7 +76,7 @@ def main():
         elapsed = time.time() - t0
         ints = _counters_to_ints(np.asarray(counters, np.uint64))
         rays, iters = ints[0], ints[5]
-        print(f"[OK] rblk={r_blk} B={B}: {rays/elapsed/1e6:8.1f}M rays/s "
+        print(f"[OK] rblk={r_blk} B={B} exit={efrac}: {rays/elapsed/1e6:8.1f}M rays/s "
               f"rays={rays} iters={iters} "
               f"lane_steps_per_ray={iters*N_LANES/max(rays,1):.2f} "
               f"elapsed={elapsed:.3f}s compile={compile_s:.0f}s", flush=True)

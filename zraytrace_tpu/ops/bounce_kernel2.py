@@ -70,7 +70,7 @@ _N_PATH = 17  # o(3) d(3) thr(3) acc(3) dep samp slot pend + base is extra
 
 def make_bounce_kernel2(n_spheres: int, n_mats: int, shape, n_slots: int,
                         n_bounce: int, r_blk: int = R_BLK,
-                        exit_frac: tuple = (1, 4)):
+                        exit_frac: tuple = (1, 2)):
     """Build the pallas_call: up to ``n_bounce`` wavefront iterations over
     two sets of ``(R, 128)`` virtual-lane state, gridded in ``r_blk``-row
     blocks. Sphere and material counts are static (unrolled
@@ -511,7 +511,7 @@ def wavefront_trace_pallas2(
     n_pixels=None,
     n_bounce: int = B_DEFAULT,
     r_blk: int = R_BLK,
-    exit_frac: tuple = (1, 4),
+    exit_frac: tuple = (1, 2),
 ):
     """Same contract as render.wavefront_trace (sphere-only scenes):
     lane ``i`` of ``pixel_base`` traces pixels ``base[i] + k*stride``.
@@ -654,5 +654,5 @@ def wavefront_trace_pallas2(
 
 _wavefront_pallas2_jit = jax.jit(
     wavefront_trace_pallas2,
-    static_argnames=("n_slots", "n_bounce", "r_blk"),
+    static_argnames=("n_slots", "n_bounce", "r_blk", "exit_frac"),
 )

@@ -12,15 +12,23 @@ flash-attention structure applied to closest-hit:
   form (triangle.zig:48-71 via the scalar-triple-product decomposition,
   geometry/triangle.py) is a rank-1 broadcast multiply — pure VPU, no
   MXU (measured unusable here: ~0.36 TFLOP/s f32, tools/flash2_probe.py),
-- **chunk culling** (round 2): triangles are sorted into spatially
-  tight chunks (BVH-leaf order) and each chunk carries an AABB; per
-  grid block the kernel computes conservative ray bounds (origin box x
-  direction intervals) and guards each chunk with lax.cond. Mosaic does
-  NOT fully skip the guarded body (an all-cullable workload still ran
-  at ~60% cost, tools/flash2_probe.py), but the guard is a measured
-  1.34x net win on the teapot bench (1.195M vs 0.895M rays/s) — with
-  tile-coherent ray blocks (render.py) primary rays touch ~5% of the
-  teapot's chunks, bounce rays ~50%,
+- **chunk culling** (round 2→3): triangles are sorted into spatially
+  tight chunks (BVH-leaf order) and each chunk carries an AABB. Round 2
+  guarded each chunk with lax.cond inside the kernel, but Mosaic does
+  NOT skip a cond body (an all-cullable workload still ran at ~60%
+  cost, tools/flash2_probe.py), capping the win at 1.34x. Round 3 moves
+  the reachability test OUT of the kernel: the XLA wrapper computes a
+  per-block list of reachable chunk ids (conservative interval test of
+  the block's ray bounds vs each chunk AABB, optionally capped by the
+  block's max sphere-hit distance), and the kernel runs a
+  dynamic-trip-count while_loop over exactly that list — skipped chunks
+  cost zero VPU work. With tile-coherent ray blocks (render.py) primary
+  rays touch ~5% of the teapot's chunks, bounce rays ~50%,
+- **sphere-seeded t_max** (round 3): callers that intersect spheres
+  first pass the per-ray sphere distance as ``t_init``; it seeds the
+  running winner (triangles beyond the sphere lose anyway) and caps the
+  chunk reachability window — the reference's t_max tightening
+  (raytrace.zig:79, bvh.zig:196-203) applied across primitive types,
 - outputs one packed (R, 8) row per ray: [t, u, v, orig_idx, hit, ...].
 
 Semantics match intersect_triangles exactly (same one-sidedness, same
