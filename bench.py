@@ -41,8 +41,27 @@ def main() -> int:
     import jax.numpy as jnp
 
     from zraytrace_tpu.render import _counters_to_ints, _wavefront_jit, C_ITERS, C_RAYS
-    from zraytrace_tpu.ops.bounce_kernel2 import _wavefront_pallas2_jit
     from zraytrace_tpu.scenes import build_scene
+
+    # kernel generation: 3 = single-path deferred-texel megakernel
+    # (ops/bounce_kernel3), 2 = round-2 dual-path stall kernel.
+    kern = os.environ.get("ZRAYTRACE_BENCH_KERNEL", "3")
+    if kern == "2":
+        from zraytrace_tpu.ops.bounce_kernel2 import (
+            _wavefront_pallas2_jit as _pallas_jit,
+        )
+        pallas_kwargs = {}
+    else:
+        from zraytrace_tpu.ops.bounce_kernel3 import (
+            _wavefront_pallas3_jit as _pallas_jit,
+        )
+        pallas_kwargs = dict(
+            n_bounce=int(os.environ.get("ZRAYTRACE_BENCH_B", "32")),
+            exit_frac=(int(os.environ.get("ZRAYTRACE_BENCH_EXIT_NUM", "1")),
+                       int(os.environ.get("ZRAYTRACE_BENCH_EXIT_DEN", "2"))),
+            return_launches=True,
+            sample_groups=int(os.environ.get("ZRAYTRACE_BENCH_GROUPS", "1")),
+        )
 
     built = build_scene(scene_idx)
     scene, camera = built.scene, built.camera
@@ -87,12 +106,17 @@ def main() -> int:
     use_pallas = (scene.n_triangles == 0 and n_lanes % 256 == 0
                   and os.environ.get("ZRAYTRACE_BENCH_PALLAS", "1") == "1")
 
+    n_launches = [0]
+
     def run(n_samples, sample_start=0):
         if use_pallas:
-            sums, counters = _wavefront_pallas2_jit(
+            out = _pallas_jit(
                 scene, camera, ids, 42, size, size, n_samples, depth,
-                sample_start, n_slots, n_lanes, n_pixels,
+                sample_start, n_slots, n_lanes, n_pixels, **pallas_kwargs,
             )
+            sums, counters = out[0], out[1]
+            if len(out) > 2:
+                n_launches[0] += int(out[2])
         else:
             sums, counters = _wavefront_jit(
                 scene, camera, ids, 42, size, size, n_samples, depth,
@@ -109,6 +133,7 @@ def main() -> int:
     t0 = time.time()
     run(1)
     compile_s = time.time() - t0
+    n_launches[0] = 0
 
     # Long executions can exceed the device relay's deadline; chunk the
     # sample range into several calls (streams are keyed by absolute
@@ -134,6 +159,7 @@ def main() -> int:
 
     print(
         f"# size={size} spp={spp} depth={depth} rays={rays} iters={iters} "
+        f"launches={n_launches[0]} "
         f"lane_steps_per_ray={iters * n_lanes / max(rays, 1):.2f} "
         f"elapsed={elapsed:.3f}s compile+warm={compile_s:.1f}s "
         f"device={jax.devices()[0].device_kind}",

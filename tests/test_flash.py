@@ -74,6 +74,39 @@ def test_padding_tris_never_hit(rng):
     assert (np.asarray(idx)[np.asarray(hit)] < 3).all()
 
 
+def test_t_init_seeding():
+    """Sphere-seeded t_max: returned t equals t_init where no triangle
+    beats it, hit is True only where a triangle strictly won, and
+    winners are unchanged vs the unseeded run."""
+    rng = np.random.default_rng(77)
+    a, b, c = _tri_soup(rng, 300)
+    n = R_RAYS
+    o = jnp.asarray(rng.normal(size=(n, 3)) * 12, jnp.float32)
+    cent = (a + b + c) / 3.0
+    tgt = cent[jnp.asarray(rng.integers(0, 300, n))]
+    d = vm.normalize(tgt - o)
+    planes = pack_tri_planes(a, b, c)
+
+    t0, i0, h0, uv0 = flash_intersect_triangles(planes, o, d, 1e-3)
+    # seed half the rays below their unseeded winner, half far away
+    seed_low = np.asarray(rng.random(n) < 0.5)
+    t0n = np.asarray(t0)
+    ti = np.where(seed_low, np.where(np.asarray(h0), t0n * 0.5, 1.0),
+                  3.4e38).astype(np.float32)
+    t1, i1, h1, uv1 = flash_intersect_triangles(planes, o, d, 1e-3,
+                                                t_init=jnp.asarray(ti))
+    h0n, h1n = np.asarray(h0), np.asarray(h1)
+    # low-seeded rays: the seed wins (strict beat required)
+    assert not h1n[seed_low & h0n].any()
+    np.testing.assert_array_equal(np.asarray(t1)[seed_low], ti[seed_low])
+    # far-seeded rays: identical winners
+    far = ~seed_low
+    np.testing.assert_array_equal(h1n[far], h0n[far])
+    m = far & h0n
+    np.testing.assert_array_equal(np.asarray(t1)[m], t0n[m])
+    np.testing.assert_array_equal(np.asarray(i1)[m], np.asarray(i0)[m])
+
+
 def test_tile_coherent_mapping_bitexact():
     """The 64x8 tile-coherent lane order changes only WHICH lane traces
     which pixel — event counters are bit-identical to the row-major

@@ -41,11 +41,11 @@ class RenderParams:
     max_wavefront: int = 1 << 20
     # Use the Pallas megakernel path when available (else pure-XLA wavefront).
     use_pallas: bool = False
-    # Max bounce iterations per megakernel launch (ops/bounce_kernel2):
-    # launches exit early when texel stalls pile up, so this is a cap;
-    # larger amortizes the per-launch texture gather further (PERF.md
-    # round 2).
-    pallas_bounces: int = 24
+    # Max bounce iterations per megakernel launch (ops/bounce_kernel3):
+    # launches exit early when deferred-texel blocks pile up, so this is
+    # a cap; larger amortizes the per-launch texture gather further
+    # (PERF.md rounds 2-3).
+    pallas_bounces: int = 32
     # Minimum triangle count before the gather-bound BVH traversal is
     # used instead of the streaming flash kernel. Counterintuitive TPU
     # result (PERF.md): random-index gathers cost ~5ns/row, so lockstep

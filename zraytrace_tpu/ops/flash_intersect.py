@@ -12,23 +12,29 @@ flash-attention structure applied to closest-hit:
   form (triangle.zig:48-71 via the scalar-triple-product decomposition,
   geometry/triangle.py) is a rank-1 broadcast multiply — pure VPU, no
   MXU (measured unusable here: ~0.36 TFLOP/s f32, tools/flash2_probe.py),
-- **chunk culling** (round 2→3): triangles are sorted into spatially
-  tight chunks (BVH-leaf order) and each chunk carries an AABB. Round 2
-  guarded each chunk with lax.cond inside the kernel, but Mosaic does
-  NOT skip a cond body (an all-cullable workload still ran at ~60%
-  cost, tools/flash2_probe.py), capping the win at 1.34x. Round 3 moves
-  the reachability test OUT of the kernel: the XLA wrapper computes a
-  per-block list of reachable chunk ids (conservative interval test of
-  the block's ray bounds vs each chunk AABB, optionally capped by the
-  block's max sphere-hit distance), and the kernel runs a
-  dynamic-trip-count while_loop over exactly that list — skipped chunks
-  cost zero VPU work. With tile-coherent ray blocks (render.py) primary
-  rays touch ~5% of the teapot's chunks, bounce rays ~50%,
+- **work-list chunk culling** (round 3): triangles are sorted into
+  spatially tight chunks (BVH-leaf order) and each chunk carries an
+  AABB. Round 2 guarded each chunk with lax.cond inside the kernel, but
+  Mosaic does NOT skip a cond body (an all-cullable workload still ran
+  at ~60% cost, tools/flash2_probe.py), capping the win at 1.34x.
+  Mosaic DOES honor data-dependent ``while_loop`` trip counts (the
+  bounce megakernel's dynamic exit threshold is measured doing exactly
+  that), so the kernel now runs a cheap scalar pre-scan — a
+  conservative interval test of the block's ray bounds vs each chunk
+  AABB — that compacts reachable chunk ids into an SMEM work list
+  (branch-free: store unconditionally at the write cursor, advance the
+  cursor only when reachable), then a while_loop executes the heavy
+  vector body over exactly that list. Skipped chunks cost ~50 scalar
+  ops instead of the full (R x 128) VPU tile. With tile-coherent ray
+  blocks (render.py) primary rays touch ~5% of the teapot's chunks,
+  bounce rays ~50%,
 - **sphere-seeded t_max** (round 3): callers that intersect spheres
   first pass the per-ray sphere distance as ``t_init``; it seeds the
-  running winner (triangles beyond the sphere lose anyway) and caps the
-  chunk reachability window — the reference's t_max tightening
-  (raytrace.zig:79, bvh.zig:196-203) applied across primitive types,
+  running winner (triangles beyond the sphere lose anyway, and exact
+  ties keep going to the sphere because the winner test is strict) and
+  its block max caps the chunk reachability window — the reference's
+  t_max tightening (raytrace.zig:79, bvh.zig:196-203) applied across
+  primitive types,
 - outputs one packed (R, 8) row per ray: [t, u, v, orig_idx, hit, ...].
 
 Semantics match intersect_triangles exactly (same one-sidedness, same
@@ -119,7 +125,8 @@ def pack_tri_planes(a, b, c, order=None) -> TriPlanes:
     return TriPlanes(planes=planes, bounds=bounds, n_tris=T)
 
 
-def _kernel(planes_ref, bounds_ref, o_ref, d_ref, tmin_ref, out_ref):
+def _kernel(planes_ref, bounds_ref, o_ref, d_ref, ti_ref, tmin_ref,
+            out_ref, wl_ref):
     n_chunks = planes_ref.shape[1]
     R = o_ref.shape[0]
 
@@ -134,11 +141,13 @@ def _kernel(planes_ref, bounds_ref, o_ref, d_ref, tmin_ref, out_ref):
     pyv = oz * dx - ox * dz
     pzv = ox * dy - oy * dx
     t_min = tmin_ref[0]
+    t_init = ti_ref[:, 0]
+    t_cap = jnp.max(t_init)
 
     # conservative per-block ray bounds for chunk culling: the block's
     # rays all start inside [omin, omax] with direction components
     # inside [dmin, dmax]; a chunk whose AABB the whole interval family
-    # cannot reach is skipped outright (lax.cond — no vector work).
+    # cannot reach before t_cap is excluded from the work list.
     omin = [jnp.min(o_ref[:, k]) for k in range(3)]
     omax = [jnp.max(o_ref[:, k]) for k in range(3)]
     dmin = [jnp.min(d_ref[:, k]) for k in range(3)]
@@ -146,7 +155,7 @@ def _kernel(planes_ref, bounds_ref, o_ref, d_ref, tmin_ref, out_ref):
 
     def chunk_reachable(ci):
         near = jnp.float32(0.0)
-        far = jnp.float32(_BIG)
+        far = t_cap
         for ax in range(3):
             lo = bounds_ref[ci, ax]
             hi = bounds_ref[ci, 3 + ax]
@@ -179,68 +188,77 @@ def _kernel(planes_ref, bounds_ref, o_ref, d_ref, tmin_ref, out_ref):
             far = jnp.where(spans, far, jnp.minimum(far, ax_far))
         return near <= far
 
-    def chunk_body(ci, carry):
-        def live(carry):
-            t_best, u_best, v_best, i_best = carry
-            pr = lambda k: planes_ref[k, ci, :][None, :]  # (1, 128)
-            e1x, e1y, e1z = pr(0), pr(1), pr(2)
-            e2x, e2y, e2z = pr(3), pr(4), pr(5)
-            fnx, fny, fnz = pr(6), pr(7), pr(8)
-            qax, qay, qaz = pr(9), pr(10), pr(11)  # e2 x a
-            rax, ray_, raz = pr(12), pr(13), pr(14)  # e1 x a
-            adf = pr(15)
-            valid = pr(16)
-            orig = pr(17)
+    # scalar pre-scan: compact reachable chunk ids into the SMEM work
+    # list. Branch-free: store at the cursor every step, advance the
+    # cursor only on reachable — unreachable candidates are overwritten
+    # by the next store and slots past n_work are never read.
+    def scan_body(ci, j):
+        wl_ref[j] = ci
+        return j + chunk_reachable(ci).astype(jnp.int32)
 
-            det = -(dx * fnx + dy * fny + dz * fnz)
-            safe = jnp.abs(det) > 1e-12
-            inv_det = 1.0 / jnp.where(safe, det, 1.0)
-            # u = (oxd).e2 - d.(e2 x a); v = -((oxd).e1 - d.(e1 x a))
-            u = (pxv * e2x + pyv * e2y + pzv * e2z
-                 - (dx * qax + dy * qay + dz * qaz)) * inv_det
-            v = -(pxv * e1x + pyv * e1y + pzv * e1z
-                  - (dx * rax + dy * ray_ + dz * raz)) * inv_det
-            t = (ox * fnx + oy * fny + oz * fnz - adf) * inv_det
-            # t_best tightens the window across chunks like the
-            # reference's recursive t_max tightening (bvh.zig:196-203)
-            is_hit = ((det >= DET_EPS) & (t > t_min)
-                      & (t < t_best[:, None])
-                      & (u >= 0.0) & (v >= 0.0)
-                      & (u + v <= 1.0) & (valid > 0.5))
-            t = jnp.where(is_hit, t, _BIG)
+    n_work = jax.lax.fori_loop(0, n_chunks, scan_body, jnp.int32(0))
 
-            tc = jnp.min(t, axis=1, keepdims=True)  # (R, 1)
-            lane_ids = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
-            first = t == tc  # may tie; argmin-by-lowest-lane below
-            lane_of_min = jnp.min(
-                jnp.where(first, lane_ids, jnp.int32(LANE)), axis=1,
-                keepdims=True)
-            sel = lane_ids == lane_of_min
-            pick = lambda x: jnp.sum(jnp.where(sel, x, 0.0), axis=1,
-                                     keepdims=True)
-            uc = pick(u)
-            vc = pick(v)
-            ic = pick(jnp.broadcast_to(orig, t.shape)).astype(jnp.int32)
+    def work_body(carry):
+        i, t_best, u_best, v_best, i_best = carry
+        ci = wl_ref[i]
+        pr = lambda k: planes_ref[k, ci, :][None, :]  # (1, 128)
+        e1x, e1y, e1z = pr(0), pr(1), pr(2)
+        e2x, e2y, e2z = pr(3), pr(4), pr(5)
+        fnx, fny, fnz = pr(6), pr(7), pr(8)
+        qax, qay, qaz = pr(9), pr(10), pr(11)  # e2 x a
+        rax, ray_, raz = pr(12), pr(13), pr(14)  # e1 x a
+        adf = pr(15)
+        valid = pr(16)
+        orig = pr(17)
 
-            better = tc[:, 0] < t_best
-            t_best = jnp.where(better, tc[:, 0], t_best)
-            u_best = jnp.where(better, uc[:, 0], u_best)
-            v_best = jnp.where(better, vc[:, 0], v_best)
-            i_best = jnp.where(better, ic[:, 0], i_best)
-            return t_best, u_best, v_best, i_best
+        det = -(dx * fnx + dy * fny + dz * fnz)
+        safe = jnp.abs(det) > 1e-12
+        inv_det = 1.0 / jnp.where(safe, det, 1.0)
+        # u = (oxd).e2 - d.(e2 x a); v = -((oxd).e1 - d.(e1 x a))
+        u = (pxv * e2x + pyv * e2y + pzv * e2z
+             - (dx * qax + dy * qay + dz * qaz)) * inv_det
+        v = -(pxv * e1x + pyv * e1y + pzv * e1z
+              - (dx * rax + dy * ray_ + dz * raz)) * inv_det
+        t = (ox * fnx + oy * fny + oz * fnz - adf) * inv_det
+        # t_best tightens the window across chunks like the
+        # reference's recursive t_max tightening (bvh.zig:196-203)
+        is_hit = ((det >= DET_EPS) & (t > t_min)
+                  & (t < t_best[:, None])
+                  & (u >= 0.0) & (v >= 0.0)
+                  & (u + v <= 1.0) & (valid > 0.5))
+        t = jnp.where(is_hit, t, _BIG)
 
-        return jax.lax.cond(chunk_reachable(ci), live, lambda c: c, carry)
+        tc = jnp.min(t, axis=1, keepdims=True)  # (R, 1)
+        lane_ids = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
+        first = t == tc  # may tie; argmin-by-lowest-lane below
+        lane_of_min = jnp.min(
+            jnp.where(first, lane_ids, jnp.int32(LANE)), axis=1,
+            keepdims=True)
+        sel = lane_ids == lane_of_min
+        pick = lambda x: jnp.sum(jnp.where(sel, x, 0.0), axis=1,
+                                 keepdims=True)
+        uc = pick(u)
+        vc = pick(v)
+        ic = pick(jnp.broadcast_to(orig, t.shape)).astype(jnp.int32)
+
+        better = tc[:, 0] < t_best
+        t_best = jnp.where(better, tc[:, 0], t_best)
+        u_best = jnp.where(better, uc[:, 0], u_best)
+        v_best = jnp.where(better, vc[:, 0], v_best)
+        i_best = jnp.where(better, ic[:, 0], i_best)
+        return i + 1, t_best, u_best, v_best, i_best
 
     init = (
-        jnp.full((R,), _BIG),
+        jnp.int32(0),
+        t_init,  # sphere-seeded running winner (or _BIG)
         jnp.zeros((R,), jnp.float32),
         jnp.zeros((R,), jnp.float32),
         jnp.zeros((R,), jnp.int32),
     )
-    t_best, u_best, v_best, i_best = jax.lax.fori_loop(
-        0, n_chunks, chunk_body, init
+    _, t_best, u_best, v_best, i_best = jax.lax.while_loop(
+        lambda c: c[0] < n_work, work_body, init
     )
-    hit = (t_best < _BIG).astype(jnp.float32)
+    hit = (t_best < t_init).astype(jnp.float32)
     out_ref[:] = jnp.stack(
         [t_best, u_best, v_best, i_best.astype(jnp.float32), hit,
          jnp.zeros_like(t_best), jnp.zeros_like(t_best), jnp.zeros_like(t_best)],
@@ -248,14 +266,24 @@ def _kernel(planes_ref, bounds_ref, o_ref, d_ref, tmin_ref, out_ref):
     )
 
 
-def flash_intersect_triangles(planes: TriPlanes, o, d, t_min):
+def flash_intersect_triangles(planes: TriPlanes, o, d, t_min, t_init=None):
     """Closest triangle per ray; same contract as intersect_triangles:
     returns (t (N,), idx (N,) i32 ORIGINAL ids, hit (N,) bool, uv (N,2)).
-    N must be a multiple of R_RAYS."""
+    N must be a multiple of R_RAYS.
+
+    ``t_init`` (N,) optionally seeds the per-ray running winner (e.g.
+    the closest sphere hit): returned t equals t_init where no triangle
+    beat it (callers merge with a strict ``<`` so the sphere keeps
+    ties), and ``hit`` is True only for rays a triangle won."""
     n = o.shape[0]
     assert n % R_RAYS == 0, n
     n_blocks = n // R_RAYS
     tmin_arr = jnp.full((1,), t_min, jnp.float32)
+    if t_init is None:
+        ti = jnp.full((n, 1), _BIG, jnp.float32)
+    else:
+        ti = jnp.minimum(t_init, _BIG).reshape(n, 1).astype(jnp.float32)
+    n_chunks = planes.planes.shape[1]
 
     out = pl.pallas_call(
         _kernel,
@@ -267,16 +295,19 @@ def flash_intersect_triangles(planes: TriPlanes, o, d, t_min):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((R_RAYS, 3), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((R_RAYS, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((R_RAYS, 8), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, 8), jnp.float32),
+        scratch_shapes=[pltpu.SMEM((n_chunks,), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=jax.default_backend() == "cpu",
-    )(planes.planes, planes.bounds, o, d, tmin_arr)
+    )(planes.planes, planes.bounds, o, d, ti, tmin_arr)
 
     t = out[:, 0]
     uv = out[:, 1:3]

@@ -78,11 +78,11 @@ def _sharded_wavefront(mesh: Mesh, n_slots: int, use_pallas: bool,
            max_depth, sample_starts, stride, n_pixels, tri_bvh, tri_flash):
         # pixel_ids: (N/d,) local; sample_starts: (1,) local slice start.
         if use_pallas:
-            from zraytrace_tpu.ops.bounce_kernel2 import (
-                wavefront_trace_pallas2,
+            from zraytrace_tpu.ops.bounce_kernel3 import (
+                wavefront_trace_pallas3,
             )
 
-            slot_sums, counters = wavefront_trace_pallas2(
+            slot_sums, counters = wavefront_trace_pallas3(
                 scene, camera, pixel_ids, seed, width, height,
                 spp_local, max_depth, sample_start=sample_starts[0],
                 n_slots=n_slots, pixel_stride=stride, n_pixels=n_pixels,

@@ -138,7 +138,11 @@ def trace_closest(scene: Scene, o, d, t_min=T_MIN, t_max=_BIG, tri_bvh=None,
     elif tri_flash is not None and scene.n_triangles > 0 and n % 512 == 0:
         from zraytrace_tpu.ops.flash_intersect import flash_intersect_triangles
 
-        tt, ti, _, uv_t = flash_intersect_triangles(tri_flash, o, d, t_min)
+        # sphere distance seeds the winner + caps chunk reachability
+        # (triangles past the closest sphere lose anyway; strict < in
+        # the merge below keeps exact ties on the sphere)
+        tt, ti, _, uv_t = flash_intersect_triangles(tri_flash, o, d, t_min,
+                                                    t_init=ts)
     else:
         tt, ti, _, uv_t = intersect_triangles(
             o, d, scene.tri_a, scene.tri_b, scene.tri_c, t_min, t_max
@@ -465,12 +469,12 @@ def render(scene: Scene, camera: cam.Camera, params: RenderParams):
         params.use_pallas
         and scene.n_triangles == 0
         and scene.n_spheres > 0
-        and n_lanes % 256 == 0  # dual-path: 2 virtual lanes per physical
+        and n_lanes % 256 == 0
     )
     if use_pallas:
-        from zraytrace_tpu.ops.bounce_kernel2 import _wavefront_pallas2_jit
+        from zraytrace_tpu.ops.bounce_kernel3 import _wavefront_pallas3_jit
 
-        sums, counters = _wavefront_pallas2_jit(
+        sums, counters = _wavefront_pallas3_jit(
             scene, camera, base, params.seed, w, h, spp, params.max_depth,
             0, n_slots, n_lanes, n_pixels,
             n_bounce=params.pallas_bounces,
