@@ -56,11 +56,11 @@ def main() -> int:
             _wavefront_pallas3_jit as _pallas_jit,
         )
         pallas_kwargs = dict(
-            n_bounce=int(os.environ.get("ZRAYTRACE_BENCH_B", "32")),
-            exit_frac=(int(os.environ.get("ZRAYTRACE_BENCH_EXIT_NUM", "1")),
-                       int(os.environ.get("ZRAYTRACE_BENCH_EXIT_DEN", "2"))),
+            n_bounce=int(os.environ.get("ZRAYTRACE_BENCH_B", "16")),
+            exit_frac=(int(os.environ.get("ZRAYTRACE_BENCH_EXIT_NUM", "2")),
+                       int(os.environ.get("ZRAYTRACE_BENCH_EXIT_DEN", "3"))),
             return_launches=True,
-            sample_groups=int(os.environ.get("ZRAYTRACE_BENCH_GROUPS", "1")),
+            sample_groups=int(os.environ.get("ZRAYTRACE_BENCH_GROUPS", "8")),
         )
 
     built = build_scene(scene_idx)

@@ -111,6 +111,17 @@ def test_kernel3_sample_interleave():
         np.testing.assert_array_equal(np.asarray(cnt_x)[:5],
                                       np.asarray(cnt_g)[:5])
         _assert_images_close(np.asarray(sums_x), np.asarray(sums_g))
+    # G > spp/gspp leaves EMPTY windows (here spp=3 < G=8): they must
+    # skip-advance without tracing spurious samples
+    sums_e, cnt_e = wavefront_trace_pallas3(
+        built.scene, built.camera, base, 42, w, h, 3, depth,
+        0, 1, 256, w * h, n_bounce=8, sample_groups=8)
+    sums_x3, cnt_x3 = wavefront_trace(
+        built.scene, built.camera, base, 42, w, h, 3, depth,
+        0, None, 256, w * h, 1)
+    np.testing.assert_array_equal(np.asarray(cnt_x3)[:5],
+                                  np.asarray(cnt_e)[:5])
+    _assert_images_close(np.asarray(sums_x3), np.asarray(sums_e))
     # multi-stripe + offset window: vs the same engine at G=1
     args = (built.scene, built.camera, base, 42, w, 8, 6, 5, 2,
             2, 256, 128)

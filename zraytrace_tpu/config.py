@@ -45,7 +45,12 @@ class RenderParams:
     # launches exit early when deferred-texel blocks pile up, so this is
     # a cap; larger amortizes the per-launch texture gather further
     # (PERF.md rounds 2-3).
-    pallas_bounces: int = 32
+    pallas_bounces: int = 16
+    # Sample-interleave factor for the megakernel: each pixel's spp is
+    # split into this many windows traced by different lanes, cutting
+    # the per-lane texel-event maximum that pins the launch count
+    # (PERF.md round 3). Clamped to spp at trace time.
+    pallas_sample_groups: int = 8
     # Minimum triangle count before the gather-bound BVH traversal is
     # used instead of the streaming flash kernel. Counterintuitive TPU
     # result (PERF.md): random-index gathers cost ~5ns/row, so lockstep

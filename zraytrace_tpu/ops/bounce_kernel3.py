@@ -84,6 +84,9 @@ _NOGATHER = _os.environ.get("ZRAYTRACE_K3_NOGATHER", "0") == "1"
 # neutral-to-slightly-positive and stays on.
 _ALIAS = _os.environ.get("ZRAYTRACE_K3_ALIAS", "1") == "1"
 _PACKED = _os.environ.get("ZRAYTRACE_K3_PACKED", "0") == "1"
+# (F,3) f32 row gather with flat indices + promise_in_bounds (skips the
+# clamp); A/B'd on hardware before flipping the default.
+_PROMISE = _os.environ.get("ZRAYTRACE_K3_PROMISE", "0") == "1"
 
 R_BLK = 64
 # Launches now stretch until the rare blocks accumulate; 32 in-kernel
@@ -173,9 +176,15 @@ def make_bounce_kernel3(n_spheres: int, n_mats: int, shape,
             exhausted = run & (dep >= max_depth)
             processing = run & ~exhausted
             # a rotated slot may land on an invalid pixel while LATER
-            # slots are valid (n_pixels not a multiple of n_lanes):
-            # such slots advance without tracing or counting
-            skip = (blocked == 0) & (slot < n_slots_t) & (pixel >= n_pixels)
+            # slots are valid (n_pixels not a multiple of n_lanes), and
+            # a sample window may be empty (spp < G*gspp): both advance
+            # without tracing or counting
+            swin_end = jnp.minimum(swin + gspp, sample_end)
+            skip = ((blocked == 0) & (slot < n_slots_t)
+                    & ((pixel >= n_pixels) | (samp >= swin_end)))
+            run = run & (samp < swin_end)
+            exhausted = exhausted & (samp < swin_end)
+            processing = processing & (samp < swin_end)
 
             # ---- closest sphere (fused running winner; sphere.zig:31-69)
             BIG = jnp.float32(3.4e38)
@@ -325,7 +334,6 @@ def make_bounce_kernel3(n_spheres: int, n_mats: int, shape,
             use_img = textype > 0.5
             texneed = sc_ & (is_lam | is_met) & use_img
             samp2 = samp + path_done.astype(jnp.int32)
-            swin_end = jnp.minimum(swin + gspp, sample_end)
             finished = path_done & (samp2 >= swin_end)
 
             # ---- deferral bookkeeping: a lane blocks (segment fully
@@ -408,8 +416,21 @@ def make_bounce_kernel3(n_spheres: int, n_mats: int, shape,
             pixel2 = baseg2 + pidx2 * stride
             j0, j1, _, _ = zrng.uniform4_i32(seed_cam, pixel2, samp2,
                                              jnp.zeros_like(dep))
-            pxf = (pixel2 % width).astype(jnp.float32)
-            pyf = (pixel2 // width).astype(jnp.float32)
+            # pixel -> (px, py) without integer div (measured ~37% of
+            # the body's sum-of-parts): f32 reciprocal estimate + exact
+            # correction. Valid while pixel < 2^24 (f32-exact ints);
+            # n_pixels is far below that for every reference config.
+            pf = pixel2.astype(jnp.float32)
+            py_i = (pf * (1.0 / fw)).astype(jnp.int32)
+            rem = pixel2 - py_i * width
+            for _ in range(2):  # estimate is off by <=1 per 4M pixels
+                under = rem < 0
+                over = rem >= width
+                py_i = py_i + jnp.where(over, 1, 0) - jnp.where(under, 1, 0)
+                rem = rem - jnp.where(over, width, 0) \
+                    + jnp.where(under, width, 0)
+            pxf = rem.astype(jnp.float32)
+            pyf = py_i.astype(jnp.float32)
             cu = (pxf + j0 - 0.5) / fw
             cv = (pyf + j1 - 0.5) / fh
             cox = cam_ref[0]
@@ -643,7 +664,7 @@ def wavefront_trace_pallas3(
             wr=jnp.zeros(shape), wg=jnp.zeros(shape), wb=jnp.zeros(shape),
             wslot=jnp.full(shape, -1, jnp.int32),
         ),
-        ss=jnp.zeros((3 * n_slots_t, R, LANE), jnp.float32),
+        ss=jnp.zeros((3 * n_slots, R, LANE), jnp.float32),
         counters=jnp.zeros((N_COUNTERS, 2), jnp.uint32),
         launches=jnp.uint32(0),
     )
@@ -682,6 +703,13 @@ def wavefront_trace_pallas3(
             tex_r = ((packed >> 16) & 255).astype(jnp.float32) / 255.0
             tex_g = ((packed >> 8) & 255).astype(jnp.float32) / 255.0
             tex_b = (packed & 255).astype(jnp.float32) / 255.0
+        elif _PROMISE:
+            idx = jnp.maximum(p["pend"], 0).reshape(-1)
+            texel = atlas_flat.at[idx].get(
+                mode="promise_in_bounds").reshape(shape + (3,))
+            tex_r = texel[..., 0]
+            tex_g = texel[..., 1]
+            tex_b = texel[..., 2]
         else:
             texel = atlas_flat[jnp.maximum(p["pend"], 0)]  # (R, 128, 3)
             tex_r = texel[..., 0]
@@ -694,19 +722,37 @@ def wavefront_trace_pallas3(
         p["tg"] = jnp.where(in_flight, p["tg"] * tex_g, p["tg"])
         p["tb"] = jnp.where(in_flight, p["tb"] * tex_b, p["tb"])
 
+        # fold records straight into the CALLER's P pixel planes: group
+        # g's contribution at lane i belongs to pixel i + g*shift, i.e.
+        # the g-plane rolled forward — the G rolls are static slices XLA
+        # fuses into the one add per stripe, so ss traffic stays 3*P
+        # planes per launch instead of 3*P*G
         ss = s["ss"]
         trr = p["wr"] * tex_r
         trg = p["wg"] * tex_g
         trb = p["wb"] * tex_b
-        for k in range(n_slots_t):
-            mt = has_trec & (p["wslot"] == k)
-            mc = cslot == k
-            ss = ss.at[3 * k + 0].add(jnp.where(mt, trr, 0.0)
-                                      + jnp.where(mc, cr, 0.0))
-            ss = ss.at[3 * k + 1].add(jnp.where(mt, trg, 0.0)
-                                      + jnp.where(mc, cg, 0.0))
-            ss = ss.at[3 * k + 2].add(jnp.where(mt, trb, 0.0)
-                                      + jnp.where(mc, cb, 0.0))
+        shift = n // G if G > 1 else 0
+
+        def rollg(x, g):
+            if g == 0 or shift == 0:
+                return x
+            return jnp.roll(x.reshape(-1), g * shift).reshape(shape)
+
+        for pstripe in range(n_slots):
+            acc_r = acc_g = acc_b = jnp.zeros(shape, jnp.float32)
+            for g in range(G):
+                k = g * n_slots + pstripe
+                mt = has_trec & (p["wslot"] == k)
+                mc = cslot == k
+                acc_r += rollg(jnp.where(mt, trr, 0.0)
+                               + jnp.where(mc, cr, 0.0), g)
+                acc_g += rollg(jnp.where(mt, trg, 0.0)
+                               + jnp.where(mc, cg, 0.0), g)
+                acc_b += rollg(jnp.where(mt, trb, 0.0)
+                               + jnp.where(mc, cb, 0.0), g)
+            ss = ss.at[3 * pstripe + 0].add(acc_r)
+            ss = ss.at[3 * pstripe + 1].add(acc_g)
+            ss = ss.at[3 * pstripe + 2].add(acc_b)
         p["pend"] = jnp.full(shape, -1, jnp.int32)
         p["wslot"] = jnp.full(shape, -1, jnp.int32)
 
@@ -721,19 +767,9 @@ def wavefront_trace_pallas3(
                     launches=s["launches"] + jnp.uint32(1))
 
     final = jax.lax.while_loop(cond, body, state)
-    # (3*n_slots_t, R, 128) -> (n_slots, N, 3); group planes roll back
-    # to the caller's pixel mapping (lane j traced pixel j + g*shift)
-    ssf = final["ss"].reshape(n_slots_t, 3, n)
-    if G > 1:
-        shift = n // G
-        sums3 = [
-            sum(jnp.roll(ssf[g * n_slots + p], g * shift, axis=-1)
-                for g in range(G))
-            for p in range(n_slots)
-        ]
-        sums = jnp.transpose(jnp.stack(sums3), (0, 2, 1))
-    else:
-        sums = jnp.transpose(ssf, (0, 2, 1))
+    # (3*n_slots, R, 128) -> (n_slots, N, 3); already in the caller's
+    # pixel mapping (group rolls happen per launch)
+    sums = jnp.transpose(final["ss"].reshape(n_slots, 3, n), (0, 2, 1))
     if return_launches:
         return sums, final["counters"], final["launches"]
     return sums, final["counters"]

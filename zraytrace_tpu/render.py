@@ -470,6 +470,8 @@ def render(scene: Scene, camera: cam.Camera, params: RenderParams):
         and scene.n_triangles == 0
         and scene.n_spheres > 0
         and n_lanes % 256 == 0
+        # the kernel's div-free pixel->(x,y) needs f32-exact pixel ids
+        and n_pixels < (1 << 22)
     )
     if use_pallas:
         from zraytrace_tpu.ops.bounce_kernel3 import _wavefront_pallas3_jit
@@ -478,6 +480,7 @@ def render(scene: Scene, camera: cam.Camera, params: RenderParams):
             scene, camera, base, params.seed, w, h, spp, params.max_depth,
             0, n_slots, n_lanes, n_pixels,
             n_bounce=params.pallas_bounces,
+            sample_groups=max(1, min(params.pallas_sample_groups, spp)),
         )
     else:
         sums, counters = _wavefront_jit(
