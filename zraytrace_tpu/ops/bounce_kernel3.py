@@ -97,7 +97,16 @@ VMEM_LIMIT = 100 * 1024 * 1024
 
 # per-lane state planes carried across launches:
 # o(3) d(3) thr(3) acc(3) dep samp slot pidx baseg swin pend trec(3)
-# trec_slot.
+# trec_slot cache_idx cache_rgb(3).
+#
+# cache_idx/cache_rgb implement a 1-entry TEXEL-VALUE CACHE (round 3):
+# launches are pinned by second-texel blocks, and consecutive samples
+# of the same pixel hit nearby (often identical) texels. A texneed
+# whose flat index equals the cached index multiplies the cached f32
+# value in-kernel — bit-identical to what the gather would return, so
+# only float multiply ORDER changes — and neither occupies the pend
+# slot nor forces a launch exit. The glue refreshes the cache with
+# every resolved pend.
 #
 # pidx/baseg/swin implement the SAMPLE-INTERLEAVED slot schedule
 # (round 3): launch count is pinned by the heaviest lane's texel-event
@@ -111,7 +120,7 @@ VMEM_LIMIT = 100 * 1024 * 1024
 # div/mod. PCG4D streams are keyed by (pixel, sample) — event counters
 # stay bit-exact under any schedule; pixel sums change only in float
 # summation order (group partial sums).
-N_STATE = 23
+N_STATE = 27
 
 
 def make_bounce_kernel3(n_spheres: int, n_mats: int, shape,
@@ -166,6 +175,7 @@ def make_bounce_kernel3(n_spheres: int, n_mats: int, shape,
              ox, oy, oz, dx, dy, dz, tr, tg, tb, ar, ag, ab,
              dep, samp, slot, pidx, baseg, swin, pend,
              wr, wg, wb_, wslot,
+             cidx, ccr, ccg, ccb,
              blocked,
              cr, cg, cb_, cslot,
              n_rays, n_refl, n_miss, n_rec, n_samp, n_tex) = carry
@@ -333,6 +343,11 @@ def make_bounce_kernel3(n_spheres: int, n_mats: int, shape,
 
             use_img = textype > 0.5
             texneed = sc_ & (is_lam | is_met) & use_img
+            # texel-value cache: a matching index resolves in-kernel
+            # with the EXACT f32 the gather would return — no pend, no
+            # block, no launch consumed
+            hitc = texneed & (texflat == cidx)
+            texmiss = texneed & ~hitc
             samp2 = samp + path_done.astype(jnp.int32)
             finished = path_done & (samp2 >= swin_end)
 
@@ -344,7 +359,7 @@ def make_bounce_kernel3(n_spheres: int, n_mats: int, shape,
             # pend belongs to the in-flight sample iff trec is empty
             # (a parked trec owns the pend otherwise)
             pend_in_flight = ~pend_free & trec_free
-            block_now = run & ((texneed & ~pend_free)
+            block_now = run & ((texmiss & ~pend_free)
                                | (finished & (cslot >= 0)))
             # effective mask: traced segments plus invalid-slot skips
             w = (run & ~block_now) | skip
@@ -361,21 +376,29 @@ def make_bounce_kernel3(n_spheres: int, n_mats: int, shape,
             ag2 = ag + mf * tg * skyg
             ab2 = ab + mf * tb * skyb
 
-            # throughput: const albedo applied now; image texels recorded
-            # in pend (factor outstanding, path keeps tracing)
+            # throughput: const albedo (and cache-hit texels) applied
+            # now; missed image texels recorded in pend (factor
+            # outstanding, path keeps tracing)
             alr = jnp.where(is_lam | is_met,
-                            jnp.where(use_img, 1.0, col_r), 1.0)
+                            jnp.where(use_img,
+                                      jnp.where(hitc, ccr, 1.0), col_r),
+                            1.0)
             alg = jnp.where(is_lam | is_met,
-                            jnp.where(use_img, 1.0, col_g), 1.0)
+                            jnp.where(use_img,
+                                      jnp.where(hitc, ccg, 1.0), col_g),
+                            1.0)
             alb = jnp.where(is_lam | is_met,
-                            jnp.where(use_img, 1.0, col_b), 1.0)
+                            jnp.where(use_img,
+                                      jnp.where(hitc, ccb, 1.0), col_b),
+                            1.0)
             tr2 = jnp.where(sc_, tr * alr, tr)
             tg2 = jnp.where(sc_, tg * alg, tg)
             tb2 = jnp.where(sc_, tb * alb, tb)
 
-            # pend transitions: record on texneed (slot free under ~block),
-            # drop when the owning sample dies with zero contribution
-            pend2 = jnp.where(texneed, texflat, pend)
+            # pend transitions: record on cache miss (slot free under
+            # ~block), drop when the owning sample dies with zero
+            # contribution
+            pend2 = jnp.where(texmiss, texflat, pend)
             pend2 = jnp.where(pend_in_flight & path_done & ~miss,
                               jnp.int32(-1), pend2)
             # trec capture: texeled sample escapes -> park thr*sky + slot
@@ -466,6 +489,7 @@ def make_bounce_kernel3(n_spheres: int, n_mats: int, shape,
                 up(pidx, pidx2), up(baseg, baseg2), up(swin, swin2),
                 up(pend, pend2),
                 up(wr, wr2), up(wg, wg2), up(wb_, wb2), up(wslot, wslot2),
+                cidx, ccr, ccg, ccb,
                 blocked | block_now.astype(jnp.int32),
                 jnp.where(fin, com_r, cr),
                 jnp.where(fin, com_g, cg),
@@ -479,7 +503,7 @@ def make_bounce_kernel3(n_spheres: int, n_mats: int, shape,
                 n_samp + cnt(path_done), n_tex + cnt(texneed))
 
         def cond(carry):
-            it, slot, blocked = carry[0], carry[15], carry[24]
+            it, slot, blocked = carry[0], carry[15], carry[1 + N_STATE]
             n_slots_t = params_ref[P_NSLOTS]
             # slot-based (not pixel-validity) so lanes skipping through
             # invalid rotated slots keep the launch running
@@ -521,9 +545,10 @@ def make_bounce_kernel3(n_spheres: int, n_mats: int, shape,
     i32 = jnp.int32
     st = lambda dt: jax.ShapeDtypeStruct((R_total, L), dt)
     # state planes: 12 f32 + dep/samp/slot/pidx/baseg/swin/pend i32 +
-    # trec rgb f32 + trec_slot i32; then commit rgb f32 + cslot i32;
-    # counters
-    state_dts = [st(f32)] * 12 + [st(i32)] * 7 + [st(f32)] * 3 + [st(i32)]
+    # trec rgb f32 + trec_slot i32 + cache_idx i32 + cache rgb f32;
+    # then commit rgb f32 + cslot i32; counters
+    state_dts = ([st(f32)] * 12 + [st(i32)] * 7 + [st(f32)] * 3
+                 + [st(i32)] * 2 + [st(f32)] * 3)
     out_shape = tuple(
         state_dts + [st(f32)] * 3 + [st(i32)]
         + [jax.ShapeDtypeStruct((n_blocks, N_COUNTS), i32)]
@@ -645,7 +670,8 @@ def wavefront_trace_pallas3(
     r2 = lambda x: x.reshape(shape)
     KEYS = ("ox", "oy", "oz", "dx", "dy", "dz", "tr", "tg", "tb",
             "ar", "ag", "ab", "dep", "samp", "slot", "pidx", "baseg",
-            "swin", "pend", "wr", "wg", "wb", "wslot")
+            "swin", "pend", "wr", "wg", "wb", "wslot",
+            "cidx", "ccr", "ccg", "ccb")
     base = pixel_base.reshape(shape)
     n_slots_t = n_slots * G
     state = dict(
@@ -663,6 +689,9 @@ def wavefront_trace_pallas3(
             pend=jnp.full(shape, -1, jnp.int32),
             wr=jnp.zeros(shape), wg=jnp.zeros(shape), wb=jnp.zeros(shape),
             wslot=jnp.full(shape, -1, jnp.int32),
+            cidx=jnp.full(shape, -1, jnp.int32),
+            ccr=jnp.zeros(shape), ccg=jnp.zeros(shape),
+            ccb=jnp.zeros(shape),
         ),
         ss=jnp.zeros((3 * n_slots, R, LANE), jnp.float32),
         counters=jnp.zeros((N_COUNTERS, 2), jnp.uint32),
@@ -721,6 +750,11 @@ def wavefront_trace_pallas3(
         p["tr"] = jnp.where(in_flight, p["tr"] * tex_r, p["tr"])
         p["tg"] = jnp.where(in_flight, p["tg"] * tex_g, p["tg"])
         p["tb"] = jnp.where(in_flight, p["tb"] * tex_b, p["tb"])
+        # refresh the in-kernel texel cache with the resolved value
+        p["cidx"] = jnp.where(has_pend, p["pend"], p["cidx"])
+        p["ccr"] = jnp.where(has_pend, tex_r, p["ccr"])
+        p["ccg"] = jnp.where(has_pend, tex_g, p["ccg"])
+        p["ccb"] = jnp.where(has_pend, tex_b, p["ccb"])
 
         # fold records straight into the CALLER's P pixel planes: group
         # g's contribution at lane i belongs to pixel i + g*shift, i.e.
