@@ -56,9 +56,9 @@ def main() -> int:
             _wavefront_pallas3_jit as _pallas_jit,
         )
         pallas_kwargs = dict(
-            n_bounce=int(os.environ.get("ZRAYTRACE_BENCH_B", "16")),
-            exit_frac=(int(os.environ.get("ZRAYTRACE_BENCH_EXIT_NUM", "2")),
-                       int(os.environ.get("ZRAYTRACE_BENCH_EXIT_DEN", "3"))),
+            n_bounce=int(os.environ.get("ZRAYTRACE_BENCH_B", "32")),
+            exit_frac=(int(os.environ.get("ZRAYTRACE_BENCH_EXIT_NUM", "1")),
+                       int(os.environ.get("ZRAYTRACE_BENCH_EXIT_DEN", "2"))),
             return_launches=True,
             sample_groups=int(os.environ.get("ZRAYTRACE_BENCH_GROUPS", "8")),
         )
@@ -85,8 +85,12 @@ def main() -> int:
 
         order = build_tri_bvh(scene.tri_a, scene.tri_b,
                               scene.tri_c).prim_order
-        tri_flash = pack_tri_planes(scene.tri_a, scene.tri_b, scene.tri_c,
-                                    order=order)
+        from zraytrace_tpu.scene import mesh_materials_const
+
+        tri_flash = pack_tri_planes(
+            scene.tri_a, scene.tri_b, scene.tri_c, order=order,
+            tri_mat=scene.tri_mat,
+            const_materials=mesh_materials_const(scene))
         tile_coherent = True
     n_pixels = size * size
     # 2^17 lanes x 8 slots measured best: occupancy waste ~2.10

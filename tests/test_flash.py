@@ -187,3 +187,32 @@ def test_flash_planes_bvh_order_matches_brute():
     np.testing.assert_allclose(np.asarray(t_f)[m], np.asarray(t_b)[m],
                                rtol=1e-6)
     np.testing.assert_array_equal(np.asarray(i_f)[m], np.asarray(i_b)[m])
+
+
+def test_attrs_fast_path_image_identical():
+    """The const-material attrs path (one packed [unit_fn, mat] gather
+    row replacing three vertex rows + the mat row, u/v winner picks
+    skipped in-kernel) must render the EXACT same image: the packed
+    unit normal is the same f32 computation triangle_surface performs
+    per ray, and const materials never read uv."""
+    from zraytrace_tpu.geometry.bvh import build_tri_bvh
+    from zraytrace_tpu.render import wavefront_trace
+    from zraytrace_tpu.scene import mesh_materials_const
+    from zraytrace_tpu.scenes import man_and_ball
+
+    built = man_and_ball()
+    s, camera = built.scene, built.camera
+    assert mesh_materials_const(s)
+    order = build_tri_bvh(s.tri_a, s.tri_b, s.tri_c).prim_order
+    slow = pack_tri_planes(s.tri_a, s.tri_b, s.tri_c, order=order)
+    fast = pack_tri_planes(s.tri_a, s.tri_b, s.tri_c, order=order,
+                           tri_mat=s.tri_mat, const_materials=True)
+    assert slow.attrs is None and fast.attrs is not None
+
+    n = 512
+    base = jnp.arange(n, dtype=jnp.int32)
+    args = (s, camera, base, 42, 32, 16, 2, 5, 0, None, n, 512, 1)
+    sums_a, cnt_a = wavefront_trace(*args, tri_flash=slow)
+    sums_b, cnt_b = wavefront_trace(*args, tri_flash=fast)
+    np.testing.assert_array_equal(np.asarray(cnt_a), np.asarray(cnt_b))
+    np.testing.assert_array_equal(np.asarray(sums_a), np.asarray(sums_b))

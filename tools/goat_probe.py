@@ -72,8 +72,10 @@ def main():
 
     t0 = time.time()
     order = build_tri_bvh(scene.tri_a, scene.tri_b, scene.tri_c).prim_order
+    from zraytrace_tpu.scene import mesh_materials_const
     planes = pack_tri_planes(scene.tri_a, scene.tri_b, scene.tri_c,
-                             order=order)
+                             order=order, tri_mat=scene.tri_mat,
+                             const_materials=mesh_materials_const(scene))
     print(f"BVH order + planes in {time.time()-t0:.2f}s "
           f"({planes.planes.nbytes/1e6:.1f} MB of plane data)",
           file=sys.stderr, flush=True)

@@ -52,8 +52,12 @@ def render_scene(scene_idx, outdir, spp=None, size=None, depth=None,
 
         order = build_tri_bvh(scene.tri_a, scene.tri_b,
                               scene.tri_c).prim_order
-        tri_flash = pack_tri_planes(scene.tri_a, scene.tri_b, scene.tri_c,
-                                    order=order)
+        from zraytrace_tpu.scene import mesh_materials_const
+
+        tri_flash = pack_tri_planes(
+            scene.tri_a, scene.tri_b, scene.tri_c, order=order,
+            tri_mat=scene.tri_mat,
+            const_materials=mesh_materials_const(scene))
         tile = True
 
     n_pix = size * size

@@ -212,7 +212,12 @@ def render_checkpointed(
             and jax.default_backend() == "tpu"):
         from zraytrace_tpu.ops.flash_intersect import pack_tri_planes
 
-        tri_flash = pack_tri_planes(scene.tri_a, scene.tri_b, scene.tri_c)
+        from zraytrace_tpu.scene import mesh_materials_const
+
+        tri_flash = pack_tri_planes(
+            scene.tri_a, scene.tri_b, scene.tri_c,
+            tri_mat=scene.tri_mat,
+            const_materials=mesh_materials_const(scene))
         n_lanes = -(-n_lanes // 512) * 512
     n_slots = math.ceil(n / n_lanes)
 

@@ -87,6 +87,9 @@ _PACKED = _os.environ.get("ZRAYTRACE_K3_PACKED", "0") == "1"
 # (F,3) f32 row gather with flat indices + promise_in_bounds (skips the
 # clamp); A/B'd on hardware before flipping the default.
 _PROMISE = _os.environ.get("ZRAYTRACE_K3_PROMISE", "0") == "1"
+# gather from a 16-byte-aligned (F, 4) zero-padded atlas instead of the
+# (F, 3) one (row width is free per the probes; alignment might not be)
+_PAD4 = _os.environ.get("ZRAYTRACE_K3_PAD4", "0") == "1"
 
 R_BLK = 64
 # Launches now stretch until the rare blocks accumulate; 32 in-kernel
@@ -97,16 +100,18 @@ VMEM_LIMIT = 100 * 1024 * 1024
 
 # per-lane state planes carried across launches:
 # o(3) d(3) thr(3) acc(3) dep samp slot pidx baseg swin pend trec(3)
-# trec_slot cache_idx cache_rgb(3).
+# trec_slot cache_idx cache_rgb(3) cache2_idx cache2_rgb(3).
 #
-# cache_idx/cache_rgb implement a 1-entry TEXEL-VALUE CACHE (round 3):
+# The cache planes implement a 2-entry TEXEL-VALUE CACHE (round 3):
 # launches are pinned by second-texel blocks, and consecutive samples
-# of the same pixel hit nearby (often identical) texels. A texneed
-# whose flat index equals the cached index multiplies the cached f32
-# value in-kernel — bit-identical to what the gather would return, so
-# only float multiply ORDER changes — and neither occupies the pend
-# slot nor forces a launch exit. The glue refreshes the cache with
-# every resolved pend.
+# of the same pixel hit nearby (often identical, or ALTERNATING when
+# the sub-pixel jitter straddles a texel boundary) texels. A texneed
+# whose flat index matches either cached index multiplies the cached
+# f32 value in-kernel — bit-identical to what the gather would return,
+# so only float multiply ORDER changes — and neither occupies the pend
+# slot nor forces a launch exit. The glue refreshes entry 1 with every
+# resolved pend and shifts the old entry 1 to entry 2 (no in-kernel
+# promotion: an A/B alternation still hits both entries steady-state).
 #
 # pidx/baseg/swin implement the SAMPLE-INTERLEAVED slot schedule
 # (round 3): launch count is pinned by the heaviest lane's texel-event
@@ -120,7 +125,7 @@ VMEM_LIMIT = 100 * 1024 * 1024
 # div/mod. PCG4D streams are keyed by (pixel, sample) — event counters
 # stay bit-exact under any schedule; pixel sums change only in float
 # summation order (group partial sums).
-N_STATE = 27
+N_STATE = 31
 
 
 def make_bounce_kernel3(n_spheres: int, n_mats: int, shape,
@@ -176,6 +181,7 @@ def make_bounce_kernel3(n_spheres: int, n_mats: int, shape,
              dep, samp, slot, pidx, baseg, swin, pend,
              wr, wg, wb_, wslot,
              cidx, ccr, ccg, ccb,
+             cidx2, ccr2, ccg2, ccb2,
              blocked,
              cr, cg, cb_, cslot,
              n_rays, n_refl, n_miss, n_rec, n_samp, n_tex) = carry
@@ -346,8 +352,13 @@ def make_bounce_kernel3(n_spheres: int, n_mats: int, shape,
             # texel-value cache: a matching index resolves in-kernel
             # with the EXACT f32 the gather would return — no pend, no
             # block, no launch consumed
-            hitc = texneed & (texflat == cidx)
+            hit1 = texneed & (texflat == cidx)
+            hit2 = texneed & ~hit1 & (texflat == cidx2)
+            hitc = hit1 | hit2
             texmiss = texneed & ~hitc
+            cvr = jnp.where(hit1, ccr, ccr2)
+            cvg = jnp.where(hit1, ccg, ccg2)
+            cvb = jnp.where(hit1, ccb, ccb2)
             samp2 = samp + path_done.astype(jnp.int32)
             finished = path_done & (samp2 >= swin_end)
 
@@ -381,15 +392,15 @@ def make_bounce_kernel3(n_spheres: int, n_mats: int, shape,
             # outstanding, path keeps tracing)
             alr = jnp.where(is_lam | is_met,
                             jnp.where(use_img,
-                                      jnp.where(hitc, ccr, 1.0), col_r),
+                                      jnp.where(hitc, cvr, 1.0), col_r),
                             1.0)
             alg = jnp.where(is_lam | is_met,
                             jnp.where(use_img,
-                                      jnp.where(hitc, ccg, 1.0), col_g),
+                                      jnp.where(hitc, cvg, 1.0), col_g),
                             1.0)
             alb = jnp.where(is_lam | is_met,
                             jnp.where(use_img,
-                                      jnp.where(hitc, ccb, 1.0), col_b),
+                                      jnp.where(hitc, cvb, 1.0), col_b),
                             1.0)
             tr2 = jnp.where(sc_, tr * alr, tr)
             tg2 = jnp.where(sc_, tg * alg, tg)
@@ -490,6 +501,7 @@ def make_bounce_kernel3(n_spheres: int, n_mats: int, shape,
                 up(pend, pend2),
                 up(wr, wr2), up(wg, wg2), up(wb_, wb2), up(wslot, wslot2),
                 cidx, ccr, ccg, ccb,
+                cidx2, ccr2, ccg2, ccb2,
                 blocked | block_now.astype(jnp.int32),
                 jnp.where(fin, com_r, cr),
                 jnp.where(fin, com_g, cg),
@@ -548,7 +560,8 @@ def make_bounce_kernel3(n_spheres: int, n_mats: int, shape,
     # trec rgb f32 + trec_slot i32 + cache_idx i32 + cache rgb f32;
     # then commit rgb f32 + cslot i32; counters
     state_dts = ([st(f32)] * 12 + [st(i32)] * 7 + [st(f32)] * 3
-                 + [st(i32)] * 2 + [st(f32)] * 3)
+                 + [st(i32)] * 2 + [st(f32)] * 3
+                 + [st(i32)] + [st(f32)] * 3)
     out_shape = tuple(
         state_dts + [st(f32)] * 3 + [st(i32)]
         + [jax.ShapeDtypeStruct((n_blocks, N_COUNTS), i32)]
@@ -671,7 +684,8 @@ def wavefront_trace_pallas3(
     KEYS = ("ox", "oy", "oz", "dx", "dy", "dz", "tr", "tg", "tb",
             "ar", "ag", "ab", "dep", "samp", "slot", "pidx", "baseg",
             "swin", "pend", "wr", "wg", "wb", "wslot",
-            "cidx", "ccr", "ccg", "ccb")
+            "cidx", "ccr", "ccg", "ccb",
+            "cidx2", "ccr2", "ccg2", "ccb2")
     base = pixel_base.reshape(shape)
     n_slots_t = n_slots * G
     state = dict(
@@ -692,6 +706,9 @@ def wavefront_trace_pallas3(
             cidx=jnp.full(shape, -1, jnp.int32),
             ccr=jnp.zeros(shape), ccg=jnp.zeros(shape),
             ccb=jnp.zeros(shape),
+            cidx2=jnp.full(shape, -1, jnp.int32),
+            ccr2=jnp.zeros(shape), ccg2=jnp.zeros(shape),
+            ccb2=jnp.zeros(shape),
         ),
         ss=jnp.zeros((3 * n_slots, R, LANE), jnp.float32),
         counters=jnp.zeros((N_COUNTERS, 2), jnp.uint32),
@@ -704,6 +721,8 @@ def wavefront_trace_pallas3(
     # same IEEE op on both sides), gather with flat 1D indices and
     # promise_in_bounds, and unpack with int32 shifts.
     atlas_flat = scene.atlas.reshape(-1, 3)
+    atlas_pad4 = jnp.concatenate(
+        [atlas_flat, jnp.zeros((atlas_flat.shape[0], 1), jnp.float32)], 1)
     _au8 = jnp.round(atlas_flat * 255.0).astype(jnp.int32)
     atlas_packed = (_au8[:, 0] << 16) | (_au8[:, 1] << 8) | _au8[:, 2]
 
@@ -732,6 +751,11 @@ def wavefront_trace_pallas3(
             tex_r = ((packed >> 16) & 255).astype(jnp.float32) / 255.0
             tex_g = ((packed >> 8) & 255).astype(jnp.float32) / 255.0
             tex_b = (packed & 255).astype(jnp.float32) / 255.0
+        elif _PAD4:
+            texel = atlas_pad4[jnp.maximum(p["pend"], 0)]  # (R, 128, 4)
+            tex_r = texel[..., 0]
+            tex_g = texel[..., 1]
+            tex_b = texel[..., 2]
         elif _PROMISE:
             idx = jnp.maximum(p["pend"], 0).reshape(-1)
             texel = atlas_flat.at[idx].get(
@@ -750,7 +774,12 @@ def wavefront_trace_pallas3(
         p["tr"] = jnp.where(in_flight, p["tr"] * tex_r, p["tr"])
         p["tg"] = jnp.where(in_flight, p["tg"] * tex_g, p["tg"])
         p["tb"] = jnp.where(in_flight, p["tb"] * tex_b, p["tb"])
-        # refresh the in-kernel texel cache with the resolved value
+        # refresh the in-kernel texel cache with the resolved value:
+        # entry 1 takes the new texel, the old entry 1 shifts to entry 2
+        p["cidx2"] = jnp.where(has_pend, p["cidx"], p["cidx2"])
+        p["ccr2"] = jnp.where(has_pend, p["ccr"], p["ccr2"])
+        p["ccg2"] = jnp.where(has_pend, p["ccg"], p["ccg2"])
+        p["ccb2"] = jnp.where(has_pend, p["ccb"], p["ccb2"])
         p["cidx"] = jnp.where(has_pend, p["pend"], p["cidx"])
         p["ccr"] = jnp.where(has_pend, tex_r, p["ccr"])
         p["ccg"] = jnp.where(has_pend, tex_g, p["ccg"])

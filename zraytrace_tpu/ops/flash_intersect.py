@@ -19,15 +19,16 @@ flash-attention structure applied to closest-hit:
   at ~60% cost, tools/flash2_probe.py), capping the win at 1.34x.
   Mosaic DOES honor data-dependent ``while_loop`` trip counts (the
   bounce megakernel's dynamic exit threshold is measured doing exactly
-  that), so the kernel now runs a cheap scalar pre-scan — a
-  conservative interval test of the block's ray bounds vs each chunk
-  AABB — that compacts reachable chunk ids into an SMEM work list
-  (branch-free: store unconditionally at the write cursor, advance the
-  cursor only when reachable), then a while_loop executes the heavy
-  vector body over exactly that list. Skipped chunks cost ~50 scalar
-  ops instead of the full (R x 128) VPU tile. With tile-coherent ray
-  blocks (render.py) primary rays touch ~5% of the teapot's chunks,
-  bounce rays ~50%,
+  that), so the kernel runs a cheap scalar pre-scan — a conservative
+  interval test of the block's ray bounds vs each chunk AABB — that
+  counting-sorts reachable chunk ids front-to-back (16 entry-distance
+  buckets) into an SMEM work list; the while_loop then executes the
+  heavy vector body over that list and EXITS as soon as the next
+  chunk's entry distance exceeds the block's running max(t_best) — the
+  reference's recursive t_max tightening (bvh.zig:196-203) lifted to
+  chunk granularity. Skipped chunks cost ~50 scalar ops; pruned tail
+  chunks cost nothing. With tile-coherent ray blocks (render.py)
+  primary rays touch ~5% of the teapot's chunks, bounce rays ~50%,
 - **sphere-seeded t_max** (round 3): callers that intersect spheres
   first pass the per-ray sphere distance as ``t_init``; it seeds the
   running winner (triangles beyond the sphere lose anyway, and exact
@@ -72,14 +73,31 @@ class TriPlanes(NamedTuple):
     planes: jnp.ndarray  # (N_COMP, n_chunks, 128) f32
     bounds: jnp.ndarray  # (n_chunks, 8) f32 chunk AABB [lo3, hi3, 0, 0]
     n_tris: int
+    # Optional (n_chunks*128, 4) [unit_fn xyz, mat_id] table indexed by
+    # PACKED SORTED id (chunk*128 + lane). Present only for
+    # const-material meshes (no textured triangle materials — true for
+    # every reference scene): its presence statically (pytree
+    # structure) switches the kernel to a lean winner reduction (no
+    # u/v picks, and the winner id is chunk*128+lane — a scalar+iota
+    # expression instead of a third cross-lane masked-sum reduction)
+    # and lets trace_closest fetch the hit normal + material with ONE
+    # gather row instead of four (TPU gathers cost ~5 ns per ROW
+    # regardless of width, PERF.md).
+    attrs: jnp.ndarray = None
 
 
-def pack_tri_planes(a, b, c, order=None) -> TriPlanes:
+def pack_tri_planes(a, b, c, order=None, tri_mat=None,
+                    const_materials=False) -> TriPlanes:
     """Host/trace-time packing of per-triangle constants into lane
     planes. ``order`` (e.g. a BVH's prim_order) sorts triangles into
     spatially tight chunks so chunk AABBs cull well; the original
     triangle id rides along as a plane so callers always see original
-    indices. Padding triangles have valid=0 (and fn=0 => det=0)."""
+    indices. Padding triangles have valid=0 (and fn=0 => det=0).
+
+    ``tri_mat`` + ``const_materials=True`` additionally pack the (T, 4)
+    attrs table (see TriPlanes). The unit normal is normalize_safe(
+    cross(b-a, c-a)) — the exact f32 ops triangle_surface performs per
+    ray (triangle.zig:44-46,67-69), so results are bit-identical."""
     T = a.shape[0]
     if order is not None:
         order = jnp.asarray(order, jnp.int32)
@@ -122,11 +140,25 @@ def pack_tri_planes(a, b, c, order=None) -> TriPlanes:
     hi_c = hi.reshape(n_chunks, LANE, 3).max(axis=1)
     bounds = jnp.concatenate(
         [lo_c, hi_c, jnp.zeros((n_chunks, 2), jnp.float32)], axis=1)
-    return TriPlanes(planes=planes, bounds=bounds, n_tris=T)
+
+    attrs = None
+    if tri_mat is not None and const_materials:
+        # packed-sorted-id attrs table: row chunk*128+lane describes the
+        # triangle at that kernel position. The unit normal repeats the
+        # exact f32 ops triangle_surface performs per ray
+        # (triangle.zig:44-46,67-69) so renders are bit-identical;
+        # padding rows are never winners (valid=0 => no hit).
+        fn_unit = vm.normalize_safe(vm.cross(b_ - a_, c_ - a_))
+        tm = jnp.asarray(tri_mat, jnp.float32)
+        if order is not None:
+            tm = tm[order]
+        tm = jnp.concatenate([tm, jnp.zeros((pad,), jnp.float32)])
+        attrs = jnp.concatenate([fn_unit, tm[:, None]], axis=1)
+    return TriPlanes(planes=planes, bounds=bounds, n_tris=T, attrs=attrs)
 
 
 def _kernel(planes_ref, bounds_ref, o_ref, d_ref, ti_ref, tmin_ref,
-            out_ref, wl_ref):
+            out_ref, wl_ref, near_ref, nearwl_ref, cnt_ref, need_uv=True):
     n_chunks = planes_ref.shape[1]
     R = o_ref.shape[0]
 
@@ -153,7 +185,7 @@ def _kernel(planes_ref, bounds_ref, o_ref, d_ref, ti_ref, tmin_ref,
     dmin = [jnp.min(d_ref[:, k]) for k in range(3)]
     dmax = [jnp.max(d_ref[:, k]) for k in range(3)]
 
-    def chunk_reachable(ci):
+    def chunk_interval(ci):
         near = jnp.float32(0.0)
         far = t_cap
         for ax in range(3):
@@ -186,17 +218,69 @@ def _kernel(planes_ref, bounds_ref, o_ref, d_ref, ti_ref, tmin_ref,
                 jnp.maximum(jnp.maximum(c4, c5), jnp.maximum(c6, c7)))
             near = jnp.where(spans, near, jnp.maximum(near, ax_near))
             far = jnp.where(spans, far, jnp.minimum(far, ax_far))
-        return near <= far
+        return near, far
 
-    # scalar pre-scan: compact reachable chunk ids into the SMEM work
-    # list. Branch-free: store at the cursor every step, advance the
-    # cursor only on reachable — unreachable candidates are overwritten
-    # by the next store and slots past n_work are never read.
-    def scan_body(ci, j):
+    # Scalar pre-scan, round 3b: reachable chunks are COUNTING-SORTED
+    # (16 distance buckets) by their conservative entry distance so the
+    # vector loop visits chunks roughly front-to-back; the loop's
+    # while-cond then compares the NEXT chunk's entry distance against
+    # the block's running max(t_best) and exits as soon as every ray
+    # already has a closer hit — the reference's t_max tightening
+    # (bvh.zig:196-203) lifted to chunk granularity. Mosaic honors
+    # data-dependent while trip counts (unlike cond bodies), so pruned
+    # chunks cost nothing.
+    #
+    # pass 1: intervals; near_ref[ci] = entry distance (BIG if the
+    # chunk is unreachable), track the max for the bucket scale
+    def pass1(ci, nmax):
+        near, far = chunk_interval(ci)
+        reach = near <= far
+        near_ref[ci] = jnp.where(reach, near, jnp.float32(_BIG))
+        return jnp.where(reach, jnp.maximum(nmax, near), nmax)
+
+    nmax = jax.lax.fori_loop(0, n_chunks, pass1, jnp.float32(0.0))
+    inv_scale = 16.0 / jnp.maximum(nmax, jnp.float32(1e-20))
+
+    def bucket_of(nv):
+        b = (jnp.minimum(nv, nmax) * inv_scale).astype(jnp.int32)
+        return jnp.clip(b, 0, 15)
+
+    def zero_body(k, _):
+        cnt_ref[k] = jnp.int32(0)
+        return _
+
+    jax.lax.fori_loop(0, 16, zero_body, jnp.int32(0))
+
+    def count_body(ci, n_work):
+        nv = near_ref[ci]
+        reach = (nv < _BIG).astype(jnp.int32)
+        b = bucket_of(nv)
+        cnt_ref[b] = cnt_ref[b] + reach
+        return n_work + reach
+
+    n_work = jax.lax.fori_loop(0, n_chunks, count_body, jnp.int32(0))
+
+    def prefix_body(k, acc):
+        c = cnt_ref[k]
+        cnt_ref[k] = acc
+        return acc + c
+
+    jax.lax.fori_loop(0, 16, prefix_body, jnp.int32(0))
+
+    # placement: write at the bucket cursor; unreachable chunks write
+    # harmlessly to the spare slot n_chunks (never read: the while-cond
+    # short-circuits on i < n_work before nearwl matters)
+    def place_body(ci, _):
+        nv = near_ref[ci]
+        reach = nv < _BIG
+        b = bucket_of(nv)
+        j = jnp.where(reach, cnt_ref[b], jnp.int32(n_chunks))
         wl_ref[j] = ci
-        return j + chunk_reachable(ci).astype(jnp.int32)
+        nearwl_ref[j] = nv
+        cnt_ref[b] = cnt_ref[b] + reach.astype(jnp.int32)
+        return _
 
-    n_work = jax.lax.fori_loop(0, n_chunks, scan_body, jnp.int32(0))
+    jax.lax.fori_loop(0, n_chunks, place_body, jnp.int32(0))
 
     def work_body(carry):
         i, t_best, u_best, v_best, i_best = carry
@@ -209,7 +293,7 @@ def _kernel(planes_ref, bounds_ref, o_ref, d_ref, ti_ref, tmin_ref,
         rax, ray_, raz = pr(12), pr(13), pr(14)  # e1 x a
         adf = pr(15)
         valid = pr(16)
-        orig = pr(17)
+        orig = pr(17) if need_uv else None
 
         det = -(dx * fnx + dy * fny + dz * fnz)
         safe = jnp.abs(det) > 1e-12
@@ -234,17 +318,24 @@ def _kernel(planes_ref, bounds_ref, o_ref, d_ref, ti_ref, tmin_ref,
         lane_of_min = jnp.min(
             jnp.where(first, lane_ids, jnp.int32(LANE)), axis=1,
             keepdims=True)
-        sel = lane_ids == lane_of_min
-        pick = lambda x: jnp.sum(jnp.where(sel, x, 0.0), axis=1,
-                                 keepdims=True)
-        uc = pick(u)
-        vc = pick(v)
-        ic = pick(jnp.broadcast_to(orig, t.shape)).astype(jnp.int32)
 
         better = tc[:, 0] < t_best
         t_best = jnp.where(better, tc[:, 0], t_best)
-        u_best = jnp.where(better, uc[:, 0], u_best)
-        v_best = jnp.where(better, vc[:, 0], v_best)
+        if need_uv:
+            # each pick is a full cross-lane masked-sum reduction —
+            # this mode returns ORIGINAL triangle ids and uv
+            sel = lane_ids == lane_of_min
+            pick = lambda x: jnp.sum(jnp.where(sel, x, 0.0), axis=1,
+                                     keepdims=True)
+            ic = pick(jnp.broadcast_to(orig, t.shape)).astype(jnp.int32)
+            uc = pick(u)
+            vc = pick(v)
+            u_best = jnp.where(better, uc[:, 0], u_best)
+            v_best = jnp.where(better, vc[:, 0], v_best)
+        else:
+            # attrs fast path: the winner id is the PACKED SORTED id
+            # chunk*128 + lane — no reduction needed beyond lane_of_min
+            ic = ci * LANE + lane_of_min
         i_best = jnp.where(better, ic[:, 0], i_best)
         return i + 1, t_best, u_best, v_best, i_best
 
@@ -255,8 +346,13 @@ def _kernel(planes_ref, bounds_ref, o_ref, d_ref, ti_ref, tmin_ref,
         jnp.zeros((R,), jnp.float32),
         jnp.zeros((R,), jnp.int32),
     )
+    def work_cond(c):
+        # prune the (front-to-back sorted) tail once every ray has a
+        # hit closer than the next chunk's conservative entry distance
+        return (c[0] < n_work) & (nearwl_ref[c[0]] <= jnp.max(c[1]))
+
     _, t_best, u_best, v_best, i_best = jax.lax.while_loop(
-        lambda c: c[0] < n_work, work_body, init
+        work_cond, work_body, init
     )
     hit = (t_best < t_init).astype(jnp.float32)
     out_ref[:] = jnp.stack(
@@ -268,8 +364,14 @@ def _kernel(planes_ref, bounds_ref, o_ref, d_ref, ti_ref, tmin_ref,
 
 def flash_intersect_triangles(planes: TriPlanes, o, d, t_min, t_init=None):
     """Closest triangle per ray; same contract as intersect_triangles:
-    returns (t (N,), idx (N,) i32 ORIGINAL ids, hit (N,) bool, uv (N,2)).
+    returns (t (N,), idx (N,) i32, hit (N,) bool, uv (N,2)).
     N must be a multiple of R_RAYS.
+
+    ``idx`` holds ORIGINAL triangle ids and ``uv`` real barycentrics —
+    EXCEPT when ``planes.attrs`` is present (const-material fast path):
+    then ``idx`` is the PACKED SORTED id (chunk*128 + lane) indexing
+    ``planes.attrs`` and ``uv`` is zeros (const materials never read
+    it).
 
     ``t_init`` (N,) optionally seeds the per-ray running winner (e.g.
     the closest sphere hit): returned t equals t_init where no triangle
@@ -284,9 +386,13 @@ def flash_intersect_triangles(planes: TriPlanes, o, d, t_min, t_init=None):
     else:
         ti = jnp.minimum(t_init, _BIG).reshape(n, 1).astype(jnp.float32)
     n_chunks = planes.planes.shape[1]
+    need_uv = planes.attrs is None
+
+    def kern(*refs):
+        return _kernel(*refs, need_uv=need_uv)
 
     out = pl.pallas_call(
-        _kernel,
+        kern,
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),  # planes, full
@@ -302,7 +408,12 @@ def flash_intersect_triangles(planes: TriPlanes, o, d, t_min, t_init=None):
         out_specs=pl.BlockSpec((R_RAYS, 8), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, 8), jnp.float32),
-        scratch_shapes=[pltpu.SMEM((n_chunks,), jnp.int32)],
+        scratch_shapes=[
+            pltpu.SMEM((n_chunks + 1,), jnp.int32),   # sorted work list
+            pltpu.SMEM((n_chunks,), jnp.float32),     # entry distances
+            pltpu.SMEM((n_chunks + 1,), jnp.float32),  # sorted entries
+            pltpu.SMEM((16,), jnp.int32),             # bucket cursors
+        ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),

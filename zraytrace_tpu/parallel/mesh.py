@@ -153,7 +153,12 @@ def render_sharded(
             and jax.default_backend() == "tpu"):
         from zraytrace_tpu.ops.flash_intersect import pack_tri_planes
 
-        tri_flash = pack_tri_planes(scene.tri_a, scene.tri_b, scene.tri_c)
+        from zraytrace_tpu.scene import mesh_materials_const
+
+        tri_flash = pack_tri_planes(
+            scene.tri_a, scene.tri_b, scene.tri_c,
+            tri_mat=scene.tri_mat,
+            const_materials=mesh_materials_const(scene))
     use_pallas = (
         params.use_pallas and scene.n_triangles == 0 and scene.n_spheres > 0
     )

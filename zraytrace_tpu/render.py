@@ -129,6 +129,7 @@ def trace_closest(scene: Scene, o, d, t_min=T_MIN, t_max=_BIG, tri_bvh=None,
     else:
         ts = jnp.full((n,), _BIG)
         si = jnp.zeros((n,), jnp.int32)
+    flash_attrs = False
     if tri_bvh is not None and scene.n_triangles > 0:
         from zraytrace_tpu.geometry.bvh import bvh_closest_triangle
 
@@ -143,6 +144,9 @@ def trace_closest(scene: Scene, o, d, t_min=T_MIN, t_max=_BIG, tri_bvh=None,
         # the merge below keeps exact ties on the sphere)
         tt, ti, _, uv_t = flash_intersect_triangles(tri_flash, o, d, t_min,
                                                     t_init=ts)
+        # ti is a packed sorted id in attrs mode — only valid against
+        # tri_flash.attrs, which only this branch produces
+        flash_attrs = tri_flash.attrs is not None
     else:
         tt, ti, _, uv_t = intersect_triangles(
             o, d, scene.tri_a, scene.tri_b, scene.tri_c, t_min, t_max
@@ -168,8 +172,21 @@ def trace_closest(scene: Scene, o, d, t_min=T_MIN, t_max=_BIG, tri_bvh=None,
         uv_s = jnp.zeros((n, 2), jnp.float32)
         mat_s = jnp.zeros((n,), jnp.int32)
     if scene.n_triangles > 0:
-        p_t, n_t = triangle_surface(o, d, t_attr, ti, scene.tri_a, scene.tri_b, scene.tri_c)
-        mat_t = scene.tri_mat[ti]
+        if flash_attrs:
+            # const-material mesh: ONE gather row [unit_fn, mat] per
+            # lane (indexed by the kernel's packed sorted id) replaces
+            # three vertex rows + the mat row (gathers cost ~5 ns per
+            # ROW regardless of width). The packed unit normal is
+            # bit-identical to triangle_surface's (same f32 ops,
+            # precomputed per triangle at pack time).
+            at = tri_flash.attrs[ti]
+            n_t = at[:, :3]
+            mat_t = at[:, 3].astype(jnp.int32)
+            p_t = vm.ray_at(o, d, t_attr)
+        else:
+            p_t, n_t = triangle_surface(
+                o, d, t_attr, ti, scene.tri_a, scene.tri_b, scene.tri_c)
+            mat_t = scene.tri_mat[ti]
     else:
         p_t = n_t = jnp.zeros_like(o)
         mat_t = jnp.zeros((n,), jnp.int32)
@@ -453,10 +470,14 @@ def render(scene: Scene, camera: cam.Camera, params: RenderParams):
         from zraytrace_tpu.geometry.bvh import build_tri_bvh
         from zraytrace_tpu.ops.flash_intersect import pack_tri_planes
 
+        from zraytrace_tpu.scene import mesh_materials_const
+
         order = build_tri_bvh(scene.tri_a, scene.tri_b,
                               scene.tri_c).prim_order
-        tri_flash = pack_tri_planes(scene.tri_a, scene.tri_b, scene.tri_c,
-                                    order=order)
+        tri_flash = pack_tri_planes(
+            scene.tri_a, scene.tri_b, scene.tri_c, order=order,
+            tri_mat=scene.tri_mat,
+            const_materials=mesh_materials_const(scene))
         tile_coherent = True
         padded = ((w + 63) // 64) * ((h + 7) // 8) * 512
         n_lanes = min(padded, -(-n_lanes // 512) * 512)

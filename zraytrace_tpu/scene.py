@@ -87,6 +87,19 @@ class Scene(NamedTuple):
         return self.n_spheres + self.n_triangles
 
 
+def mesh_materials_const(scene: "Scene") -> bool:
+    """True when no TRIANGLE material reads an image texture — true for
+    every reference scene (meshes are single const-color materials,
+    obj_reader.zig:114) — which enables the flash attrs fast path
+    (ops/flash_intersect.TriPlanes.attrs). Host-side only: call with a
+    concrete (untraced) scene."""
+    if int(scene.n_triangles) == 0:
+        return False
+    tm = np.asarray(scene.tri_mat)
+    ttypes = np.asarray(scene.tex_type)[np.asarray(scene.mat_tex)[tm]]
+    return bool((ttypes == TEX_IMAGE).sum() == 0)
+
+
 class SceneBuilder:
     """Host-side scene assembly (numpy), the analogue of the reference's
     scene builder functions (scenes.zig:26-265). ``build()`` produces the
