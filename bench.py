@@ -56,21 +56,24 @@ def main() -> int:
             _wavefront_pallas3_jit as _pallas_jit,
         )
         pallas_kwargs = dict(
-            n_bounce=int(os.environ.get("ZRAYTRACE_BENCH_B", "32")),
-            exit_frac=(int(os.environ.get("ZRAYTRACE_BENCH_EXIT_NUM", "1")),
-                       int(os.environ.get("ZRAYTRACE_BENCH_EXIT_DEN", "2"))),
+            n_bounce=int(os.environ.get("ZRAYTRACE_BENCH_B", "28")),
+            exit_frac=(int(os.environ.get("ZRAYTRACE_BENCH_EXIT_NUM", "3")),
+                       int(os.environ.get("ZRAYTRACE_BENCH_EXIT_DEN", "5"))),
             return_launches=True,
             sample_groups=int(os.environ.get("ZRAYTRACE_BENCH_GROUPS", "8")),
         )
 
+
     built = build_scene(scene_idx)
     scene, camera = built.scene, built.camera
-    # auto: brute matmul below the TPU BVH crossover (PERF.md)
-    env_bvh = os.environ.get("ZRAYTRACE_BENCH_BVH", "auto")
-    if env_bvh == "auto":
-        use_bvh = scene.n_triangles > 30000
-    else:
-        use_bvh = env_bvh == "1"
+    if kern != "2" and os.environ.get("ZRAYTRACE_BENCH_MATCLS", "1") == "1":
+        from zraytrace_tpu.scene import material_classes
+
+        pallas_kwargs["mat_classes"] = material_classes(scene)
+    # The flash work-list kernel beats the gather-bound BVH traversal
+    # at every measured size incl. goat-class 158k tris (PERF.md), so
+    # the BVH path is opt-in only (ZRAYTRACE_BENCH_BVH=1).
+    use_bvh = os.environ.get("ZRAYTRACE_BENCH_BVH", "0") == "1"
     tri_bvh = None
     if use_bvh and scene.n_triangles > 10:
         from zraytrace_tpu.geometry.bvh import build_tri_bvh

@@ -146,3 +146,22 @@ def test_kernel3_exit_frac_invariance():
     np.testing.assert_array_equal(np.asarray(c_a)[:5], np.asarray(c_b)[:5])
     np.testing.assert_allclose(np.asarray(s_a), np.asarray(s_b),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_kernel3_mat_classes_identical():
+    """Restricted where-chains (static material classes,
+    scene.material_classes) must not change a single bit: the same
+    table values are selected, the chains just skip rows whose value
+    cannot matter for that column."""
+    from zraytrace_tpu.scene import material_classes
+
+    built = three_balls()
+    base = jnp.arange(256, dtype=jnp.int32)
+    args = (built.scene, built.camera, base, 42, 16, 16, 4, 8, 0, 1,
+            256, 256)
+    s0, c0 = wavefront_trace_pallas3(*args, n_bounce=8, sample_groups=2)
+    s1, c1 = wavefront_trace_pallas3(
+        *args, n_bounce=8, sample_groups=2,
+        mat_classes=material_classes(built.scene))
+    np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
+    np.testing.assert_array_equal(np.asarray(s0), np.asarray(s1))

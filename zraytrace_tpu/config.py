@@ -45,9 +45,9 @@ class RenderParams:
     # launches exit early when deferred-texel blocks pile up, so this is
     # a cap; larger amortizes the per-launch texture gather further
     # (PERF.md rounds 2-3).
-    # 32 with the exit_frac=1/2 threshold won the post-texel-cache
-    # sweep (565.7M rays/s vs 545.6M at 16/(2,3); PERF.md round 3).
-    pallas_bounces: int = 32
+    # 28 with the exit_frac=3/5 threshold won the 4-entry-cache +
+    # mat-classes sweep (613.6M rays/s; PERF.md round 3).
+    pallas_bounces: int = 28
     # Sample-interleave factor for the megakernel: each pixel's spp is
     # split into this many windows traced by different lanes, cutting
     # the per-lane texel-event maximum that pins the launch count

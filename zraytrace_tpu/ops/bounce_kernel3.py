@@ -100,18 +100,20 @@ VMEM_LIMIT = 100 * 1024 * 1024
 
 # per-lane state planes carried across launches:
 # o(3) d(3) thr(3) acc(3) dep samp slot pidx baseg swin pend trec(3)
-# trec_slot cache_idx cache_rgb(3) cache2_idx cache2_rgb(3).
+# trec_slot + N_CACHE x (cache_idx cache_rgb(3)).
 #
-# The cache planes implement a 2-entry TEXEL-VALUE CACHE (round 3):
-# launches are pinned by second-texel blocks, and consecutive samples
-# of the same pixel hit nearby (often identical, or ALTERNATING when
-# the sub-pixel jitter straddles a texel boundary) texels. A texneed
-# whose flat index matches either cached index multiplies the cached
-# f32 value in-kernel — bit-identical to what the gather would return,
-# so only float multiply ORDER changes — and neither occupies the pend
-# slot nor forces a launch exit. The glue refreshes entry 1 with every
-# resolved pend and shifts the old entry 1 to entry 2 (no in-kernel
-# promotion: an A/B alternation still hits both entries steady-state).
+# The cache planes implement an N_CACHE-entry TEXEL-VALUE CACHE
+# (round 3): launches are pinned by second-texel blocks, and
+# consecutive samples of the same pixel hit texels from the pixel's
+# small (~2x2 texel) footprint — often repeating or alternating across
+# a boundary as the sub-pixel jitter moves. A texneed whose flat index
+# matches any cached index multiplies the cached f32 value in-kernel —
+# bit-identical to what the gather would return, so only float
+# multiply ORDER changes — and neither occupies the pend slot nor
+# forces a launch exit. The glue refreshes entry 0 with every resolved
+# pend and shifts older entries down (FIFO by last-resolve; no
+# in-kernel promotion — a K-texel working set still hits steady-state
+# while K <= N_CACHE because hits don't need refreshing).
 #
 # pidx/baseg/swin implement the SAMPLE-INTERLEAVED slot schedule
 # (round 3): launch count is pinned by the heaviest lane's texel-event
@@ -125,12 +127,13 @@ VMEM_LIMIT = 100 * 1024 * 1024
 # div/mod. PCG4D streams are keyed by (pixel, sample) — event counters
 # stay bit-exact under any schedule; pixel sums change only in float
 # summation order (group partial sums).
-N_STATE = 31
+N_CACHE = int(_os.environ.get("ZRAYTRACE_K3_CACHE", "4"))
+N_STATE = 23 + 4 * N_CACHE
 
 
 def make_bounce_kernel3(n_spheres: int, n_mats: int, shape,
                         n_bounce: int, r_blk: int = R_BLK,
-                        exit_frac: tuple = (1, 2)):
+                        exit_frac: tuple = (3, 5), mat_classes=None):
     """Build the pallas_call: up to ``n_bounce`` wavefront iterations
     over ``(R, 128)`` single-path lane state, gridded in ``r_blk``-row
     blocks. Sphere and material counts are static (unrolled
@@ -179,12 +182,12 @@ def make_bounce_kernel3(n_spheres: int, n_mats: int, shape,
             (it,
              ox, oy, oz, dx, dy, dz, tr, tg, tb, ar, ag, ab,
              dep, samp, slot, pidx, baseg, swin, pend,
-             wr, wg, wb_, wslot,
-             cidx, ccr, ccg, ccb,
-             cidx2, ccr2, ccg2, ccb2,
-             blocked,
+             wr, wg, wb_, wslot) = carry[:24]
+            cache = carry[24:24 + 4 * N_CACHE]
+            (blocked,
              cr, cg, cb_, cslot,
-             n_rays, n_refl, n_miss, n_rec, n_samp, n_tex) = carry
+             n_rays, n_refl, n_miss, n_rec, n_samp, n_tex) \
+                = carry[24 + 4 * N_CACHE:]
 
             pixel = baseg + pidx * stride
             alive = (slot < n_slots_t) & (pixel < n_pixels)
@@ -267,23 +270,32 @@ def make_bounce_kernel3(n_spheres: int, n_mats: int, shape,
             # ---- material attrs (where-chain over the M-row table)
             r0_, r1_, r2_, _ = zrng.uniform4_i32(seed_sc, pixel, samp, dep)
 
-            def sel(col):
-                out = jnp.zeros(blk, jnp.float32)
-                for m in range(n_mats):
+            # where-chains restricted by static material class
+            # (scene.material_classes): each column only visits rows
+            # whose value can matter — defaults are safe because every
+            # consumer is masked by the material/texture type anyway
+            if mat_classes is None:
+                tex_ids = die_ids = col_ids = tuple(range(n_mats))
+            else:
+                tex_ids, die_ids, col_ids = mat_classes
+
+            def sel(col, ids=None, default=0.0):
+                out = jnp.full(blk, jnp.float32(default))
+                for m in (range(n_mats) if ids is None else ids):
                     out = jnp.where(ms == m, mat_ref[m, col], out)
                 return out
 
             mtype = sel(0)
-            ior = sel(1)
-            textype = sel(2)
-            col_r = sel(3)
-            col_g = sel(4)
-            col_b = sel(5)
-            tbase = sel(6)
-            uoff = sel(7)
-            voff = sel(8)
-            th = sel(9)
-            tw = sel(10)
+            ior = sel(1, die_ids, 1.0)
+            textype = sel(2, tex_ids)
+            col_r = sel(3, col_ids)
+            col_g = sel(4, col_ids)
+            col_b = sel(5, col_ids)
+            tbase = sel(6, tex_ids)
+            uoff = sel(7, tex_ids)
+            voff = sel(8, tex_ids)
+            th = sel(9, tex_ids, 1.0)
+            tw = sel(10, tex_ids, 1.0)
 
             # texel index (texture.zig:52-74): u flip + offset + wrap
             def wrap(x):
@@ -352,13 +364,18 @@ def make_bounce_kernel3(n_spheres: int, n_mats: int, shape,
             # texel-value cache: a matching index resolves in-kernel
             # with the EXACT f32 the gather would return — no pend, no
             # block, no launch consumed
-            hit1 = texneed & (texflat == cidx)
-            hit2 = texneed & ~hit1 & (texflat == cidx2)
-            hitc = hit1 | hit2
+            hitc = jnp.zeros(blk, jnp.bool_)
+            cvr = jnp.zeros(blk, jnp.float32)
+            cvg = jnp.zeros(blk, jnp.float32)
+            cvb = jnp.zeros(blk, jnp.float32)
+            for k in range(N_CACHE):
+                ck, ckr, ckg, ckb = cache[4 * k:4 * k + 4]
+                hk = texneed & ~hitc & (texflat == ck)
+                cvr = jnp.where(hk, ckr, cvr)
+                cvg = jnp.where(hk, ckg, cvg)
+                cvb = jnp.where(hk, ckb, cvb)
+                hitc = hitc | hk
             texmiss = texneed & ~hitc
-            cvr = jnp.where(hit1, ccr, ccr2)
-            cvg = jnp.where(hit1, ccg, ccg2)
-            cvb = jnp.where(hit1, ccb, ccb2)
             samp2 = samp + path_done.astype(jnp.int32)
             finished = path_done & (samp2 >= swin_end)
 
@@ -500,8 +517,7 @@ def make_bounce_kernel3(n_spheres: int, n_mats: int, shape,
                 up(pidx, pidx2), up(baseg, baseg2), up(swin, swin2),
                 up(pend, pend2),
                 up(wr, wr2), up(wg, wg2), up(wb_, wb2), up(wslot, wslot2),
-                cidx, ccr, ccg, ccb,
-                cidx2, ccr2, ccg2, ccb2,
+            ) + tuple(cache) + (
                 blocked | block_now.astype(jnp.int32),
                 jnp.where(fin, com_r, cr),
                 jnp.where(fin, com_g, cg),
@@ -560,8 +576,8 @@ def make_bounce_kernel3(n_spheres: int, n_mats: int, shape,
     # trec rgb f32 + trec_slot i32 + cache_idx i32 + cache rgb f32;
     # then commit rgb f32 + cslot i32; counters
     state_dts = ([st(f32)] * 12 + [st(i32)] * 7 + [st(f32)] * 3
-                 + [st(i32)] * 2 + [st(f32)] * 3
-                 + [st(i32)] + [st(f32)] * 3)
+                 + [st(i32)]
+                 + [st(i32), st(f32), st(f32), st(f32)] * N_CACHE)
     out_shape = tuple(
         state_dts + [st(f32)] * 3 + [st(i32)]
         + [jax.ShapeDtypeStruct((n_blocks, N_COUNTS), i32)]
@@ -613,9 +629,10 @@ def wavefront_trace_pallas3(
     n_pixels=None,
     n_bounce: int = B_DEFAULT,
     r_blk: int = R_BLK,
-    exit_frac: tuple = (1, 2),
+    exit_frac: tuple = (3, 5),
     return_launches: bool = False,
     sample_groups: int = 1,
+    mat_classes=None,
 ):
     """Same contract as render.wavefront_trace (sphere-only scenes):
     lane ``i`` of ``pixel_base`` traces pixels ``base[i] + k*stride``.
@@ -645,7 +662,8 @@ def wavefront_trace_pallas3(
     tables = prepare_tables(scene, camera)
     S = int(tables.spheres.shape[0])
     M = int(tables.mats.shape[0])
-    kernel = make_bounce_kernel3(S, M, shape, n_bounce, r_blk, exit_frac)
+    kernel = make_bounce_kernel3(S, M, shape, n_bounce, r_blk, exit_frac,
+                                 mat_classes)
 
     width_i = jnp.asarray(width, jnp.int32)
     height_i = jnp.asarray(height, jnp.int32)
@@ -683,9 +701,8 @@ def wavefront_trace_pallas3(
     r2 = lambda x: x.reshape(shape)
     KEYS = ("ox", "oy", "oz", "dx", "dy", "dz", "tr", "tg", "tb",
             "ar", "ag", "ab", "dep", "samp", "slot", "pidx", "baseg",
-            "swin", "pend", "wr", "wg", "wb", "wslot",
-            "cidx", "ccr", "ccg", "ccb",
-            "cidx2", "ccr2", "ccg2", "ccb2")
+            "swin", "pend", "wr", "wg", "wb", "wslot") + tuple(
+        f"c{k}{f}" for k in range(N_CACHE) for f in ("idx", "r", "g", "b"))
     base = pixel_base.reshape(shape)
     n_slots_t = n_slots * G
     state = dict(
@@ -703,12 +720,9 @@ def wavefront_trace_pallas3(
             pend=jnp.full(shape, -1, jnp.int32),
             wr=jnp.zeros(shape), wg=jnp.zeros(shape), wb=jnp.zeros(shape),
             wslot=jnp.full(shape, -1, jnp.int32),
-            cidx=jnp.full(shape, -1, jnp.int32),
-            ccr=jnp.zeros(shape), ccg=jnp.zeros(shape),
-            ccb=jnp.zeros(shape),
-            cidx2=jnp.full(shape, -1, jnp.int32),
-            ccr2=jnp.zeros(shape), ccg2=jnp.zeros(shape),
-            ccb2=jnp.zeros(shape),
+            **{f"c{k}{f}": (jnp.full(shape, -1, jnp.int32) if f == "idx"
+                            else jnp.zeros(shape))
+               for k in range(N_CACHE) for f in ("idx", "r", "g", "b")},
         ),
         ss=jnp.zeros((3 * n_slots, R, LANE), jnp.float32),
         counters=jnp.zeros((N_COUNTERS, 2), jnp.uint32),
@@ -775,15 +789,14 @@ def wavefront_trace_pallas3(
         p["tg"] = jnp.where(in_flight, p["tg"] * tex_g, p["tg"])
         p["tb"] = jnp.where(in_flight, p["tb"] * tex_b, p["tb"])
         # refresh the in-kernel texel cache with the resolved value:
-        # entry 1 takes the new texel, the old entry 1 shifts to entry 2
-        p["cidx2"] = jnp.where(has_pend, p["cidx"], p["cidx2"])
-        p["ccr2"] = jnp.where(has_pend, p["ccr"], p["ccr2"])
-        p["ccg2"] = jnp.where(has_pend, p["ccg"], p["ccg2"])
-        p["ccb2"] = jnp.where(has_pend, p["ccb"], p["ccb2"])
-        p["cidx"] = jnp.where(has_pend, p["pend"], p["cidx"])
-        p["ccr"] = jnp.where(has_pend, tex_r, p["ccr"])
-        p["ccg"] = jnp.where(has_pend, tex_g, p["ccg"])
-        p["ccb"] = jnp.where(has_pend, tex_b, p["ccb"])
+        # entry 0 takes the new texel, older entries shift down (FIFO)
+        new_vals = {"idx": p["pend"], "r": tex_r, "g": tex_g, "b": tex_b}
+        for k in range(N_CACHE - 1, 0, -1):
+            for f in ("idx", "r", "g", "b"):
+                p[f"c{k}{f}"] = jnp.where(
+                    has_pend, p[f"c{k - 1}{f}"], p[f"c{k}{f}"])
+        for f in ("idx", "r", "g", "b"):
+            p[f"c0{f}"] = jnp.where(has_pend, new_vals[f], p[f"c0{f}"])
 
         # fold records straight into the CALLER's P pixel planes: group
         # g's contribution at lane i belongs to pixel i + g*shift, i.e.
@@ -841,5 +854,5 @@ def wavefront_trace_pallas3(
 _wavefront_pallas3_jit = jax.jit(
     wavefront_trace_pallas3,
     static_argnames=("n_slots", "n_bounce", "r_blk", "exit_frac",
-                     "return_launches", "sample_groups"),
+                     "return_launches", "sample_groups", "mat_classes"),
 )

@@ -19,16 +19,19 @@ flash-attention structure applied to closest-hit:
   at ~60% cost, tools/flash2_probe.py), capping the win at 1.34x.
   Mosaic DOES honor data-dependent ``while_loop`` trip counts (the
   bounce megakernel's dynamic exit threshold is measured doing exactly
-  that), so the kernel runs a cheap scalar pre-scan — a conservative
-  interval test of the block's ray bounds vs each chunk AABB — that
-  counting-sorts reachable chunk ids front-to-back (16 entry-distance
-  buckets) into an SMEM work list; the while_loop then executes the
-  heavy vector body over that list and EXITS as soon as the next
-  chunk's entry distance exceeds the block's running max(t_best) — the
-  reference's recursive t_max tightening (bvh.zig:196-203) lifted to
-  chunk granularity. Skipped chunks cost ~50 scalar ops; pruned tail
-  chunks cost nothing. With tile-coherent ray blocks (render.py)
-  primary rays touch ~5% of the teapot's chunks, bounce rays ~50%,
+  that), so the kernel now runs a cheap scalar pre-scan — a
+  conservative interval test of the block's ray bounds vs each chunk
+  AABB — that compacts reachable chunk ids into an SMEM work list
+  (branch-free: store unconditionally at the write cursor, advance the
+  cursor only when reachable), then a while_loop executes the heavy
+  vector body over exactly that list. Skipped chunks cost ~50 scalar
+  ops instead of the full (R x 128) VPU tile. (A front-to-back
+  counting-sorted list with a max(t_best) early-exit cond was measured
+  SLOWER on both teapot and goat — the per-chunk cross-lane max plus
+  the extra scalar passes outweigh pruning, which rarely fires because
+  one sky/ground ray keeps the block cap huge.) With tile-coherent ray
+  blocks (render.py) primary rays touch ~5% of the teapot's chunks,
+  bounce rays ~50%,
 - **sphere-seeded t_max** (round 3): callers that intersect spheres
   first pass the per-ray sphere distance as ``t_init``; it seeds the
   running winner (triangles beyond the sphere lose anyway, and exact
@@ -61,8 +64,15 @@ from zraytrace_tpu import vecmath as vm
 _BIG = 3.4e38
 DET_EPS = 1e-6
 
+import os as _os
+
 LANE = 128
-R_RAYS = 512  # rays (sublanes) per grid block
+# rays (sublanes) per grid block. Callers align ray counts to 512, so
+# any divisor of 512 is safe; smaller blocks cull chunks more tightly
+# (per-block ray bounds shrink) at more per-block fixed cost. 256 won
+# the teapot sweep (1.82M vs 1.77M rays/s; PERF.md round 3).
+R_RAYS = int(_os.environ.get("ZRAYTRACE_FLASH_RAYS", "256"))
+assert 512 % R_RAYS == 0, R_RAYS
 
 # packed triangle component planes, each (n_chunks, 128):
 # e1(3) e2(3) fn(3) e2xa(3) e1xa(3) a_dot_fn(1) valid(1) orig_id(1)
@@ -158,7 +168,7 @@ def pack_tri_planes(a, b, c, order=None, tri_mat=None,
 
 
 def _kernel(planes_ref, bounds_ref, o_ref, d_ref, ti_ref, tmin_ref,
-            out_ref, wl_ref, near_ref, nearwl_ref, cnt_ref, need_uv=True):
+            out_ref, wl_ref, need_uv=True):
     n_chunks = planes_ref.shape[1]
     R = o_ref.shape[0]
 
@@ -220,67 +230,16 @@ def _kernel(planes_ref, bounds_ref, o_ref, d_ref, ti_ref, tmin_ref,
             far = jnp.where(spans, far, jnp.minimum(far, ax_far))
         return near, far
 
-    # Scalar pre-scan, round 3b: reachable chunks are COUNTING-SORTED
-    # (16 distance buckets) by their conservative entry distance so the
-    # vector loop visits chunks roughly front-to-back; the loop's
-    # while-cond then compares the NEXT chunk's entry distance against
-    # the block's running max(t_best) and exits as soon as every ray
-    # already has a closer hit — the reference's t_max tightening
-    # (bvh.zig:196-203) lifted to chunk granularity. Mosaic honors
-    # data-dependent while trip counts (unlike cond bodies), so pruned
-    # chunks cost nothing.
-    #
-    # pass 1: intervals; near_ref[ci] = entry distance (BIG if the
-    # chunk is unreachable), track the max for the bucket scale
-    def pass1(ci, nmax):
+    # scalar pre-scan: compact reachable chunk ids into the SMEM work
+    # list. Branch-free: store at the cursor every step, advance the
+    # cursor only on reachable — unreachable candidates are overwritten
+    # by the next store and slots past n_work are never read.
+    def scan_body(ci, j):
         near, far = chunk_interval(ci)
-        reach = near <= far
-        near_ref[ci] = jnp.where(reach, near, jnp.float32(_BIG))
-        return jnp.where(reach, jnp.maximum(nmax, near), nmax)
-
-    nmax = jax.lax.fori_loop(0, n_chunks, pass1, jnp.float32(0.0))
-    inv_scale = 16.0 / jnp.maximum(nmax, jnp.float32(1e-20))
-
-    def bucket_of(nv):
-        b = (jnp.minimum(nv, nmax) * inv_scale).astype(jnp.int32)
-        return jnp.clip(b, 0, 15)
-
-    def zero_body(k, _):
-        cnt_ref[k] = jnp.int32(0)
-        return _
-
-    jax.lax.fori_loop(0, 16, zero_body, jnp.int32(0))
-
-    def count_body(ci, n_work):
-        nv = near_ref[ci]
-        reach = (nv < _BIG).astype(jnp.int32)
-        b = bucket_of(nv)
-        cnt_ref[b] = cnt_ref[b] + reach
-        return n_work + reach
-
-    n_work = jax.lax.fori_loop(0, n_chunks, count_body, jnp.int32(0))
-
-    def prefix_body(k, acc):
-        c = cnt_ref[k]
-        cnt_ref[k] = acc
-        return acc + c
-
-    jax.lax.fori_loop(0, 16, prefix_body, jnp.int32(0))
-
-    # placement: write at the bucket cursor; unreachable chunks write
-    # harmlessly to the spare slot n_chunks (never read: the while-cond
-    # short-circuits on i < n_work before nearwl matters)
-    def place_body(ci, _):
-        nv = near_ref[ci]
-        reach = nv < _BIG
-        b = bucket_of(nv)
-        j = jnp.where(reach, cnt_ref[b], jnp.int32(n_chunks))
         wl_ref[j] = ci
-        nearwl_ref[j] = nv
-        cnt_ref[b] = cnt_ref[b] + reach.astype(jnp.int32)
-        return _
+        return j + (near <= far).astype(jnp.int32)
 
-    jax.lax.fori_loop(0, n_chunks, place_body, jnp.int32(0))
+    n_work = jax.lax.fori_loop(0, n_chunks, scan_body, jnp.int32(0))
 
     def work_body(carry):
         i, t_best, u_best, v_best, i_best = carry
@@ -346,13 +305,8 @@ def _kernel(planes_ref, bounds_ref, o_ref, d_ref, ti_ref, tmin_ref,
         jnp.zeros((R,), jnp.float32),
         jnp.zeros((R,), jnp.int32),
     )
-    def work_cond(c):
-        # prune the (front-to-back sorted) tail once every ray has a
-        # hit closer than the next chunk's conservative entry distance
-        return (c[0] < n_work) & (nearwl_ref[c[0]] <= jnp.max(c[1]))
-
     _, t_best, u_best, v_best, i_best = jax.lax.while_loop(
-        work_cond, work_body, init
+        lambda c: c[0] < n_work, work_body, init
     )
     hit = (t_best < t_init).astype(jnp.float32)
     out_ref[:] = jnp.stack(
@@ -408,12 +362,7 @@ def flash_intersect_triangles(planes: TriPlanes, o, d, t_min, t_init=None):
         out_specs=pl.BlockSpec((R_RAYS, 8), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, 8), jnp.float32),
-        scratch_shapes=[
-            pltpu.SMEM((n_chunks + 1,), jnp.int32),   # sorted work list
-            pltpu.SMEM((n_chunks,), jnp.float32),     # entry distances
-            pltpu.SMEM((n_chunks + 1,), jnp.float32),  # sorted entries
-            pltpu.SMEM((16,), jnp.int32),             # bucket cursors
-        ],
+        scratch_shapes=[pltpu.SMEM((n_chunks,), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),

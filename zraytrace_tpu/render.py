@@ -497,11 +497,14 @@ def render(scene: Scene, camera: cam.Camera, params: RenderParams):
     if use_pallas:
         from zraytrace_tpu.ops.bounce_kernel3 import _wavefront_pallas3_jit
 
+        from zraytrace_tpu.scene import material_classes
+
         sums, counters = _wavefront_pallas3_jit(
             scene, camera, base, params.seed, w, h, spp, params.max_depth,
             0, n_slots, n_lanes, n_pixels,
             n_bounce=params.pallas_bounces,
             sample_groups=max(1, min(params.pallas_sample_groups, spp)),
+            mat_classes=material_classes(scene),
         )
     else:
         sums, counters = _wavefront_jit(
