@@ -236,3 +236,59 @@ def test_max_wavefront_padding_tail():
     img2, _ = render(scene, camera, RenderParams(
         width=8, height=8, samples_per_pixel=2, max_depth=3))
     np.testing.assert_allclose(img1, img2, atol=1e-6)
+
+
+def test_wavefront_sample_groups_interleave():
+    """The XLA wavefront's sample-group interleave (rotated-base
+    schedule borrowed from the bounce megakernel) must keep event
+    counters bit-exact and the image equal up to float summation order
+    — PCG4D streams are keyed by (pixel, sample), so which lane traces
+    a window never changes the events."""
+    scene, camera = _mini_scene()
+    base = dict(width=8, height=8, samples_per_pixel=6, max_depth=4)
+    img1, st1 = render(scene, camera, RenderParams(**base))
+    for g in (2, 4, 8):  # incl. g > some windows (empty-window skips)
+        img_g, st_g = render(scene, camera, RenderParams(
+            **base, wavefront_sample_groups=g))
+        np.testing.assert_allclose(img1, img_g, rtol=1e-5, atol=1e-6)
+        assert st_g.rays == st1.rays
+        assert st_g.samples == st1.samples
+        assert st_g.reflections == st1.reflections
+        assert st_g.background_hits == st1.background_hits
+
+
+def test_wavefront_sample_groups_multi_slot():
+    """Interleave composed with multi-slot lanes (the mesh bench
+    configuration's shape)."""
+    scene, camera = _mini_scene()
+    base = dict(width=8, height=8, samples_per_pixel=4, max_depth=4)
+    img1, st1 = render(scene, camera, RenderParams(**base))
+    img_g, st_g = render(scene, camera, RenderParams(
+        **base, max_wavefront=16, wavefront_sample_groups=4))
+    np.testing.assert_allclose(img1, img_g, rtol=1e-5, atol=1e-6)
+    assert st_g.rays == st1.rays
+    assert st_g.samples == st1.samples
+
+
+def test_wavefront_groups_tile_coherent_fold():
+    """Interleave under the tile-coherent lane map (the mesh bench
+    shape): group planes roll-fold back to the G=1 sums; event counters
+    (all but the iteration count) stay bit-exact."""
+    from zraytrace_tpu.render import _interleave_shift, wavefront_trace
+
+    scene, camera = _mini_scene()
+    w, h, spp, depth = 64, 16, 3, 4
+    n = 1024  # 1x2 tiles of 512
+    base = jnp.arange(n, dtype=jnp.int32)
+    s1, c1 = wavefront_trace(scene, camera, base, 7, w, h, spp, depth,
+                             0, None, n, w * h, 1, None, True, 1)
+    G = 2
+    sg, cg = wavefront_trace(scene, camera, base, 7, w, h, spp, depth,
+                             0, None, n, w * h, 1, None, True, G)
+    np.testing.assert_array_equal(np.asarray(c1)[:5], np.asarray(cg)[:5])
+    shf = _interleave_shift(n, G, True)
+    fold = np.zeros((n, 3), np.float32)
+    for g in range(G):
+        fold += np.roll(np.asarray(sg[g]), g * shf, axis=0)
+    np.testing.assert_allclose(np.asarray(s1)[0], fold,
+                               rtol=1e-5, atol=1e-6)

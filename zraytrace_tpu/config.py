@@ -53,6 +53,12 @@ class RenderParams:
     # the per-lane texel-event maximum that pins the launch count
     # (PERF.md round 3). Clamped to spp at trace time.
     pallas_sample_groups: int = 8
+    # Sample-interleave for the XLA wavefront (mesh scenes): same
+    # rotated-base schedule, implemented in the XLA loop. Spreads heavy
+    # pixels' samples over G lanes, cutting lockstep occupancy waste
+    # (teapot measured 2.02 lane-steps/ray at G=1). Default 1 keeps the
+    # historical float summation order for oracle-exact tests.
+    wavefront_sample_groups: int = 1
     # Minimum triangle count before the gather-bound BVH traversal is
     # used instead of the streaming flash kernel. Counterintuitive TPU
     # result (PERF.md): random-index gathers cost ~5ns/row, so lockstep

@@ -20,22 +20,26 @@ and the path's GEOMETRY (and its stateless PCG4D streams, keyed by
 (pixel, sample, bounce)) never depends on throughput. Products commute,
 so a texel factor may be applied out of order:
 
-- **pend**: a path that needs a texel records the flat atlas index and
-  KEEPS TRACING with the factor outstanding (throughput multiplied by
-  the constant part only).
-- **trec**: if the texeled sample escapes to the sky before the factor
-  resolves, its contribution ``thr * sky`` parks in a per-path record
-  tagged with the pixel slot; the glue adds ``texel * trec`` into the
-  slot sums. If the sample is absorbed or hits the depth limit its
-  contribution is zero and the pend is simply dropped.
-- a path only **blocks** when it needs a SECOND texel while one is
-  outstanding, or when a finished pixel finds the per-launch commit
-  record occupied — both rare, so launches run near ``n_bounce``
-  iterations instead of ~8, which cuts both the number of per-launch
-  atlas gathers and the launch fixed cost. A blocked path's segment is
-  suppressed entirely (no state writes, no counter increments) and
-  replays exactly after the glue resolves — stateless RNG makes the
-  replay bit-identical.
+- **texel slots** (K_TEX per lane): a path that needs a texel records
+  the flat atlas index in a free slot and KEEPS TRACING with the factor
+  outstanding; ``tmask`` tracks which slots the in-flight sample still
+  owes. A repeat need of an index already in a slot just sets the
+  slot's bit (the resolved value is shared).
+- **contribution records** (M_REC per lane): a sample that escapes to
+  the sky with outstanding factors parks ``(thr * sky, pixel slot,
+  tmask)`` in a free record; a finished pixel window parks its
+  accumulated sum with mask 0. The glue resolves every texel slot with
+  ONE batched gather per launch, multiplies each record by the texels
+  its mask references, and adds it into the slot sums. A sample
+  absorbed or depth-exhausted owes nothing — its mask is simply
+  dropped.
+- a path only **blocks** when every texel slot (on a new texel need) or
+  every record (on park/finish) is occupied — rare with K=M=4, so
+  launches stretch and both the per-launch atlas gather count and the
+  launch fixed cost drop. A blocked path's segment is suppressed
+  entirely (no state writes, no counter increments) and replays exactly
+  after the glue resolves — stateless RNG makes the replay
+  bit-identical.
 
 Event counters are bit-exact vs the XLA wavefront (stalling and
 deferral change timing, never events). Radiance differs from the XLA
@@ -87,9 +91,6 @@ _PACKED = _os.environ.get("ZRAYTRACE_K3_PACKED", "0") == "1"
 # (F,3) f32 row gather with flat indices + promise_in_bounds (skips the
 # clamp); A/B'd on hardware before flipping the default.
 _PROMISE = _os.environ.get("ZRAYTRACE_K3_PROMISE", "0") == "1"
-# gather from a 16-byte-aligned (F, 4) zero-padded atlas instead of the
-# (F, 3) one (row width is free per the probes; alignment might not be)
-_PAD4 = _os.environ.get("ZRAYTRACE_K3_PAD4", "0") == "1"
 
 R_BLK = 64
 # Launches now stretch until the rare blocks accumulate; 32 in-kernel
@@ -98,37 +99,44 @@ B_DEFAULT = 32
 
 VMEM_LIMIT = 100 * 1024 * 1024
 
-# per-lane state planes carried across launches:
-# o(3) d(3) thr(3) acc(3) dep samp slot pidx baseg swin pend trec(3)
-# trec_slot + N_CACHE x (cache_idx cache_rgb(3)).
+# PERSISTENT per-lane state planes carried across launches:
+# o(3) d(3) thr(3) acc(3) dep samp slot pidx baseg swin
+# + N_CACHE x (cache_idx cache_rgb(3)).
 #
 # The cache planes implement an N_CACHE-entry TEXEL-VALUE CACHE
-# (round 3): launches are pinned by second-texel blocks, and
+# (round 3): launches are pinned by texel-slot exhaustion, and
 # consecutive samples of the same pixel hit texels from the pixel's
 # small (~2x2 texel) footprint — often repeating or alternating across
 # a boundary as the sub-pixel jitter moves. A texneed whose flat index
 # matches any cached index multiplies the cached f32 value in-kernel —
 # bit-identical to what the gather would return, so only float
-# multiply ORDER changes — and neither occupies the pend slot nor
-# forces a launch exit. The glue refreshes entry 0 with every resolved
-# pend and shifts older entries down (FIFO by last-resolve; no
-# in-kernel promotion — a K-texel working set still hits steady-state
-# while K <= N_CACHE because hits don't need refreshing).
+# multiply ORDER changes — and consumes no texel slot. The glue
+# refreshes entry 0 with every resolved slot and shifts older entries
+# down (FIFO by last-resolve; no in-kernel promotion — a working set
+# still hits steady-state while it fits because hits don't need
+# refreshing).
+#
+# LAUNCH-LOCAL planes (initialized in-kernel, resolved by the glue
+# every launch, never streamed in): tmask, K_TEX texel-slot indices,
+# M_REC contribution records (rgb, pixel slot, texel-slot mask).
 #
 # pidx/baseg/swin implement the SAMPLE-INTERLEAVED slot schedule
 # (round 3): launch count is pinned by the heaviest lane's texel-event
-# total (one resolve per launch), and with whole-pixel lanes the
-# texture-dominated pixels concentrate ~12k events on a lane. Slot k
-# now means (pixel stripe p = k mod P, sample group g = k div P): the
-# lane traces pixel ((base - lo + g*shift) mod n_lanes + lo) + p*stride
-# for the g-th spp/G window, so one heavy pixel's samples spread over G
-# lanes and the per-lane maximum drops toward the 244M/131k average.
-# Carried as planes (advance is add/compare) so the hot loop needs no
-# div/mod. PCG4D streams are keyed by (pixel, sample) — event counters
-# stay bit-exact under any schedule; pixel sums change only in float
+# total, and with whole-pixel lanes the texture-dominated pixels
+# concentrate ~12k events on a lane. Slot k now means (pixel stripe
+# p = k mod P, sample group g = k div P): the lane traces pixel
+# ((base - lo + g*shift) mod n_lanes + lo) + p*stride for the g-th
+# spp/G window, so one heavy pixel's samples spread over G lanes and
+# the per-lane maximum drops toward the 244M/131k average. Carried as
+# planes (advance is add/compare) so the hot loop needs no div/mod.
+# PCG4D streams are keyed by (pixel, sample) — event counters stay
+# bit-exact under any schedule; pixel sums change only in float
 # summation order (group partial sums).
 N_CACHE = int(_os.environ.get("ZRAYTRACE_K3_CACHE", "4"))
-N_STATE = 23 + 4 * N_CACHE
+K_TEX = int(_os.environ.get("ZRAYTRACE_K3_TEX", "4"))
+M_REC = int(_os.environ.get("ZRAYTRACE_K3_REC", "4"))
+N_STATE = 18 + 4 * N_CACHE
+N_LOCAL = 1 + K_TEX + 5 * M_REC
 
 
 def make_bounce_kernel3(n_spheres: int, n_mats: int, shape,
@@ -145,14 +153,21 @@ def make_bounce_kernel3(n_spheres: int, n_mats: int, shape,
     n_blocks = R_total // R
     blk = (R, L)
     exit_num, exit_den = exit_frac
+    # carry layout offsets (after the leading iteration counter)
+    Q_CACHE = 1 + 18
+    Q_LOCAL = Q_CACHE + 4 * N_CACHE          # tmask
+    Q_TEX = Q_LOCAL + 1                      # K_TEX slot indices
+    Q_REC = Q_TEX + K_TEX                    # M_REC x (r, g, b, slot, mask)
+    Q_BLOCKED = Q_REC + 5 * M_REC
+    Q_COUNT = Q_BLOCKED + 1
 
     def kernel(*refs):
         (params_ref, cam_ref, sph_ref, mat_ref, base_ref) = refs[:5]
         state_in = refs[5:5 + N_STATE]
         outs = refs[5 + N_STATE:]
         state_out = outs[:N_STATE]
-        commit_out = outs[N_STATE:N_STATE + 4]
-        counts_o = outs[N_STATE + 4]
+        local_out = outs[N_STATE:N_STATE + N_LOCAL]
+        counts_o = outs[N_STATE + N_LOCAL]
 
         width = params_ref[P_WIDTH]
         height = params_ref[P_HEIGHT]
@@ -181,13 +196,13 @@ def make_bounce_kernel3(n_spheres: int, n_mats: int, shape,
         def iter_body(carry):
             (it,
              ox, oy, oz, dx, dy, dz, tr, tg, tb, ar, ag, ab,
-             dep, samp, slot, pidx, baseg, swin, pend,
-             wr, wg, wb_, wslot) = carry[:24]
-            cache = carry[24:24 + 4 * N_CACHE]
-            (blocked,
-             cr, cg, cb_, cslot,
-             n_rays, n_refl, n_miss, n_rec, n_samp, n_tex) \
-                = carry[24 + 4 * N_CACHE:]
+             dep, samp, slot, pidx, baseg, swin) = carry[:Q_CACHE]
+            cache = carry[Q_CACHE:Q_LOCAL]
+            tmask = carry[Q_LOCAL]
+            texidx = carry[Q_TEX:Q_REC]
+            recs = carry[Q_REC:Q_BLOCKED]
+            blocked = carry[Q_BLOCKED]
+            (n_rays, n_refl, n_miss, n_rec, n_samp, n_tex) = carry[Q_COUNT:]
 
             pixel = baseg + pidx * stride
             alive = (slot < n_slots_t) & (pixel < n_pixels)
@@ -362,7 +377,7 @@ def make_bounce_kernel3(n_spheres: int, n_mats: int, shape,
             use_img = textype > 0.5
             texneed = sc_ & (is_lam | is_met) & use_img
             # texel-value cache: a matching index resolves in-kernel
-            # with the EXACT f32 the gather would return — no pend, no
+            # with the EXACT f32 the gather would return — no slot, no
             # block, no launch consumed
             hitc = jnp.zeros(blk, jnp.bool_)
             cvr = jnp.zeros(blk, jnp.float32)
@@ -379,33 +394,44 @@ def make_bounce_kernel3(n_spheres: int, n_mats: int, shape,
             samp2 = samp + path_done.astype(jnp.int32)
             finished = path_done & (samp2 >= swin_end)
 
-            # ---- deferral bookkeeping: a lane blocks (segment fully
-            # suppressed, replayed after the glue resolves) when it needs
-            # a texel slot or a commit record that is occupied.
-            pend_free = pend < 0
-            trec_free = wslot < 0
-            # pend belongs to the in-flight sample iff trec is empty
-            # (a parked trec owns the pend otherwise)
-            pend_in_flight = ~pend_free & trec_free
-            block_now = run & ((texmiss & ~pend_free)
-                               | (finished & (cslot >= 0)))
-            # effective mask: traced segments plus invalid-slot skips
-            w = (run & ~block_now) | skip
+            # ---- deferral bookkeeping: K_TEX texel slots + M_REC
+            # contribution records; a lane blocks (segment fully
+            # suppressed, replayed after the glue resolves) only when
+            # every slot / record it needs is occupied.
+            # A texmiss whose index already sits in a slot shares it
+            # (the resolved value is the same); otherwise allocate the
+            # first free slot.
+            reused = jnp.zeros(blk, jnp.bool_)
+            reuse_bit = jnp.zeros(blk, jnp.int32)
+            for k in range(K_TEX):
+                rk = texmiss & ~reused & (texflat == texidx[k])
+                reuse_bit = jnp.where(rk, jnp.int32(1 << k), reuse_bit)
+                reused = reused | rk
+            need_alloc = texmiss & ~reused
+            alloced = jnp.zeros(blk, jnp.bool_)
+            alloc_bit = jnp.zeros(blk, jnp.int32)
+            texidx2 = list(texidx)
+            for k in range(K_TEX):
+                take = need_alloc & ~alloced & (texidx[k] < 0)
+                texidx2[k] = jnp.where(take, texflat, texidx[k])
+                alloc_bit = jnp.where(take, jnp.int32(1 << k), alloc_bit)
+                alloced = alloced | take
+            tex_block = need_alloc & ~alloced
 
-            # sky radiance on escape (raytrace.zig:53-58); a texeled
-            # sample's contribution parks in trec instead of acc
+            # sky radiance on escape (raytrace.zig:53-58); a sample
+            # with outstanding factors parks in a record instead of acc
             tsky = 0.5 * (dy + 1.0)
             skyr = (1.0 - tsky) + tsky * 0.5
             skyg = (1.0 - tsky) + tsky * 0.7
             skyb = (1.0 - tsky) + tsky * 1.0
-            to_trec = miss & pend_in_flight
-            mf = (miss & ~to_trec).astype(jnp.float32)
+            park = miss & (tmask != 0)
+            mf = (miss & ~park).astype(jnp.float32)
             ar2 = ar + mf * tr * skyr
             ag2 = ag + mf * tg * skyg
             ab2 = ab + mf * tb * skyb
 
             # throughput: const albedo (and cache-hit texels) applied
-            # now; missed image texels recorded in pend (factor
+            # now; missed image texels ride in the slot mask (factor
             # outstanding, path keeps tracing)
             alr = jnp.where(is_lam | is_met,
                             jnp.where(use_img,
@@ -423,17 +449,12 @@ def make_bounce_kernel3(n_spheres: int, n_mats: int, shape,
             tg2 = jnp.where(sc_, tg * alg, tg)
             tb2 = jnp.where(sc_, tb * alb, tb)
 
-            # pend transitions: record on cache miss (slot free under
-            # ~block), drop when the owning sample dies with zero
-            # contribution
-            pend2 = jnp.where(texmiss, texflat, pend)
-            pend2 = jnp.where(pend_in_flight & path_done & ~miss,
-                              jnp.int32(-1), pend2)
-            # trec capture: texeled sample escapes -> park thr*sky + slot
-            wr2 = jnp.where(to_trec, tr * skyr, wr)
-            wg2 = jnp.where(to_trec, tg * skyg, wg)
-            wb2 = jnp.where(to_trec, tb * skyb, wb_)
-            wslot2 = jnp.where(to_trec, slot, wslot)
+            # tmask transitions: texmiss adds its slot bit (texmiss and
+            # path_done are mutually exclusive — a texmiss implies a
+            # scatter); park or drop (absorb/exhaust) clears
+            tmask2 = tmask | reuse_bit | alloc_bit
+            tmask2 = jnp.where(park | (path_done & ~miss),
+                               jnp.int32(0), tmask2)
 
             ox2 = jnp.where(sc_, px_, ox)
             oy2 = jnp.where(sc_, py_, oy)
@@ -443,12 +464,43 @@ def make_bounce_kernel3(n_spheres: int, n_mats: int, shape,
             dz2 = jnp.where(sc_, sz, dz)
             dep2 = jnp.where(sc_, dep + 1, dep)
 
-            # pixel bookkeeping: the finished slot's sum goes to the
-            # per-launch commit record (cslot occupancy gates via block)
-            com_r, com_g, com_b, com_slot = ar2, ag2, ab2, slot
+            # pixel bookkeeping: a finished window's sum goes to a
+            # record with mask 0 (record occupancy gates via block)
+            com_r, com_g, com_b = ar2, ag2, ab2
+            commit = finished
             ar2 = jnp.where(finished, 0.0, ar2)
             ag2 = jnp.where(finished, 0.0, ag2)
             ab2 = jnp.where(finished, 0.0, ab2)
+
+            # record chains: park first, then commit (a textured escape
+            # at window end needs BOTH — they land in different records)
+            parked = jnp.zeros(blk, jnp.bool_)
+            committed = jnp.zeros(blk, jnp.bool_)
+            recs2 = list(recs)
+            for m in range(M_REC):
+                rr, rg, rb, rs_, rk = recs[5 * m:5 * m + 5]
+                free_m = rs_ < 0
+                take_p = park & ~parked & free_m
+                free_m2 = free_m & ~take_p
+                take_c = commit & ~committed & free_m2
+                recs2[5 * m + 0] = jnp.where(
+                    take_p, tr * skyr, jnp.where(take_c, com_r, rr))
+                recs2[5 * m + 1] = jnp.where(
+                    take_p, tg * skyg, jnp.where(take_c, com_g, rg))
+                recs2[5 * m + 2] = jnp.where(
+                    take_p, tb * skyb, jnp.where(take_c, com_b, rb))
+                recs2[5 * m + 3] = jnp.where(take_p | take_c, slot, rs_)
+                recs2[5 * m + 4] = jnp.where(
+                    take_p, tmask, jnp.where(take_c, jnp.int32(0), rk))
+                parked = parked | take_p
+                committed = committed | take_c
+            park_block = park & ~parked
+            commit_block = commit & ~committed
+
+            block_now = run & (tex_block | park_block | commit_block)
+            # effective mask: traced segments plus invalid-slot skips
+            w = (run & ~block_now) | skip
+
             adv = finished | skip
             fin_i = adv.astype(jnp.int32)
             slot2 = slot + fin_i
@@ -505,7 +557,6 @@ def make_bounce_kernel3(n_spheres: int, n_mats: int, shape,
             dep2 = jnp.where(pd, 0, dep2)
 
             # single writeback per plane, gated by the effective mask
-            fin = w & finished
             up = lambda old, new: jnp.where(w, new, old)
             carry_out = (
                 it + 1,
@@ -515,14 +566,11 @@ def make_bounce_kernel3(n_spheres: int, n_mats: int, shape,
                 up(ar, ar2), up(ag, ag2), up(ab, ab2),
                 up(dep, dep2), up(samp, samp2), up(slot, slot2),
                 up(pidx, pidx2), up(baseg, baseg2), up(swin, swin2),
-                up(pend, pend2),
-                up(wr, wr2), up(wg, wg2), up(wb_, wb2), up(wslot, wslot2),
             ) + tuple(cache) + (
+                up(tmask, tmask2),
+            ) + tuple(up(o, n) for o, n in zip(texidx, texidx2)) \
+              + tuple(up(o, n) for o, n in zip(recs, recs2)) + (
                 blocked | block_now.astype(jnp.int32),
-                jnp.where(fin, com_r, cr),
-                jnp.where(fin, com_g, cg),
-                jnp.where(fin, com_b, cb_),
-                jnp.where(fin, com_slot, cslot),
             )
             cnt = lambda m: jnp.sum((m & w).astype(jnp.int32))
             return carry_out + (
@@ -531,7 +579,7 @@ def make_bounce_kernel3(n_spheres: int, n_mats: int, shape,
                 n_samp + cnt(path_done), n_tex + cnt(texneed))
 
         def cond(carry):
-            it, slot, blocked = carry[0], carry[15], carry[1 + N_STATE]
+            it, slot, blocked = carry[0], carry[15], carry[Q_BLOCKED]
             n_slots_t = params_ref[P_NSLOTS]
             # slot-based (not pixel-validity) so lanes skipping through
             # invalid rotated slots keep the launch running
@@ -548,15 +596,16 @@ def make_bounce_kernel3(n_spheres: int, n_mats: int, shape,
         neg1 = jnp.full(blk, -1, jnp.int32)
         iz = jnp.zeros(blk, jnp.int32)
         init = (zero,) + tuple(r[:] for r in state_in) \
-            + (iz,) + (fz, fz, fz, neg1) \
-            + (zero, zero, zero, zero, zero, zero)
+            + (iz,) + (neg1,) * K_TEX \
+            + (fz, fz, fz, neg1, iz) * M_REC \
+            + (iz,) + (zero,) * 6
         fin = jax.lax.while_loop(cond, iter_body, init)
         it_done = fin[0]
         for r, v in zip(state_out, fin[1:1 + N_STATE]):
             r[:] = v
-        for r, v in zip(commit_out, fin[2 + N_STATE:6 + N_STATE]):
+        for r, v in zip(local_out, fin[Q_LOCAL:Q_BLOCKED]):
             r[:] = v
-        n_rays, n_refl, n_miss, n_rec, n_samp, n_tex = fin[6 + N_STATE:]
+        n_rays, n_refl, n_miss, n_rec, n_samp, n_tex = fin[Q_COUNT:]
 
         i = pl.program_id(0)
         counts_o[i, 0] = n_rays
@@ -567,19 +616,21 @@ def make_bounce_kernel3(n_spheres: int, n_mats: int, shape,
         counts_o[i, 5] = it_done
         counts_o[i, 6] = n_tex
         # diagnostic: lanes blocked when the launch exited
-        counts_o[i, 7] = jnp.sum((fin[1 + N_STATE] != 0).astype(jnp.int32))
+        counts_o[i, 7] = jnp.sum((fin[Q_BLOCKED] != 0).astype(jnp.int32))
 
     f32 = jnp.float32
     i32 = jnp.int32
     st = lambda dt: jax.ShapeDtypeStruct((R_total, L), dt)
-    # state planes: 12 f32 + dep/samp/slot/pidx/baseg/swin/pend i32 +
-    # trec rgb f32 + trec_slot i32 + cache_idx i32 + cache rgb f32;
-    # then commit rgb f32 + cslot i32; counters
-    state_dts = ([st(f32)] * 12 + [st(i32)] * 7 + [st(f32)] * 3
-                 + [st(i32)]
+    # persistent state planes: 12 f32 + dep/samp/slot/pidx/baseg/swin
+    # i32 + cache (idx i32 + rgb f32) x N_CACHE; then launch-local
+    # tmask i32 + texidx i32 x K_TEX + (rgb f32, slot i32, mask i32)
+    # x M_REC; counters
+    state_dts = ([st(f32)] * 12 + [st(i32)] * 6
                  + [st(i32), st(f32), st(f32), st(f32)] * N_CACHE)
+    local_dts = ([st(i32)] + [st(i32)] * K_TEX
+                 + [st(f32), st(f32), st(f32), st(i32), st(i32)] * M_REC)
     out_shape = tuple(
-        state_dts + [st(f32)] * 3 + [st(i32)]
+        state_dts + local_dts
         + [jax.ShapeDtypeStruct((n_blocks, N_COUNTS), i32)]
     )
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -587,7 +638,7 @@ def make_bounce_kernel3(n_spheres: int, n_mats: int, shape,
                                     memory_space=pltpu.VMEM)
     in_specs = [smem()] * 4 + [lane_blk()] * (1 + N_STATE)
     out_specs = tuple(
-        [lane_blk()] * (N_STATE + 4)
+        [lane_blk()] * (N_STATE + N_LOCAL)
         + [pl.BlockSpec(memory_space=pltpu.SMEM)]
     )
     return pl.pallas_call(
@@ -701,7 +752,7 @@ def wavefront_trace_pallas3(
     r2 = lambda x: x.reshape(shape)
     KEYS = ("ox", "oy", "oz", "dx", "dy", "dz", "tr", "tg", "tb",
             "ar", "ag", "ab", "dep", "samp", "slot", "pidx", "baseg",
-            "swin", "pend", "wr", "wg", "wb", "wslot") + tuple(
+            "swin") + tuple(
         f"c{k}{f}" for k in range(N_CACHE) for f in ("idx", "r", "g", "b"))
     base = pixel_base.reshape(shape)
     n_slots_t = n_slots * G
@@ -717,9 +768,6 @@ def wavefront_trace_pallas3(
             pidx=jnp.zeros(shape, jnp.int32),
             baseg=base,
             swin=jnp.full(shape, sstart_i, jnp.int32),
-            pend=jnp.full(shape, -1, jnp.int32),
-            wr=jnp.zeros(shape), wg=jnp.zeros(shape), wb=jnp.zeros(shape),
-            wslot=jnp.full(shape, -1, jnp.int32),
             **{f"c{k}{f}": (jnp.full(shape, -1, jnp.int32) if f == "idx"
                             else jnp.zeros(shape))
                for k in range(N_CACHE) for f in ("idx", "r", "g", "b")},
@@ -735,8 +783,6 @@ def wavefront_trace_pallas3(
     # same IEEE op on both sides), gather with flat 1D indices and
     # promise_in_bounds, and unpack with int32 shifts.
     atlas_flat = scene.atlas.reshape(-1, 3)
-    atlas_pad4 = jnp.concatenate(
-        [atlas_flat, jnp.zeros((atlas_flat.shape[0], 1), jnp.float32)], 1)
     _au8 = jnp.round(atlas_flat * 255.0).astype(jnp.int32)
     atlas_packed = (_au8[:, 0] << 16) | (_au8[:, 1] << 8) | _au8[:, 2]
 
@@ -750,53 +796,62 @@ def wavefront_trace_pallas3(
         args += [s["p"][k] for k in KEYS]
         outs = kernel(*args)
         p = dict(zip(KEYS, outs[:N_STATE]))
-        cr, cg, cb, cslot = outs[N_STATE:N_STATE + 4]
-        counts = outs[N_STATE + 4]
+        ll = outs[N_STATE:N_STATE + N_LOCAL]
+        tmask_o = ll[0]
+        tex_o = ll[1:1 + K_TEX]
+        recs_o = ll[1 + K_TEX:]
+        counts = outs[N_STATE + N_LOCAL]
 
-        # the one gather per launch resolves every outstanding texel:
-        # in-flight pends multiply throughput; parked trecs flush
-        # texel * trec into their slot plane
+        # the one gather per launch resolves every outstanding texel
+        # slot: thr multiplies the slots its mask references; records
+        # flush (rgb x their referenced texels) into their slot plane
+        idx_all = jnp.stack(tex_o)  # (K, R, 128)
         if _NOGATHER:  # timing probe: constant texel, image wrong
-            tex_r = tex_g = tex_b = jnp.full(shape, 0.5, jnp.float32)
+            tex_rgb = jnp.full((K_TEX,) + shape + (3,), 0.5, jnp.float32)
         elif _PACKED:
-            idx = jnp.maximum(p["pend"], 0).reshape(-1)
-            packed = atlas_packed.at[idx].get(
-                mode="promise_in_bounds").reshape(shape)
-            tex_r = ((packed >> 16) & 255).astype(jnp.float32) / 255.0
-            tex_g = ((packed >> 8) & 255).astype(jnp.float32) / 255.0
-            tex_b = (packed & 255).astype(jnp.float32) / 255.0
-        elif _PAD4:
-            texel = atlas_pad4[jnp.maximum(p["pend"], 0)]  # (R, 128, 4)
-            tex_r = texel[..., 0]
-            tex_g = texel[..., 1]
-            tex_b = texel[..., 2]
+            flat = jnp.maximum(idx_all, 0).reshape(-1)
+            packed = atlas_packed.at[flat].get(
+                mode="promise_in_bounds").reshape((K_TEX,) + shape)
+            tex_rgb = jnp.stack([
+                ((packed >> 16) & 255).astype(jnp.float32) / 255.0,
+                ((packed >> 8) & 255).astype(jnp.float32) / 255.0,
+                (packed & 255).astype(jnp.float32) / 255.0,
+            ], axis=-1)
         elif _PROMISE:
-            idx = jnp.maximum(p["pend"], 0).reshape(-1)
-            texel = atlas_flat.at[idx].get(
-                mode="promise_in_bounds").reshape(shape + (3,))
-            tex_r = texel[..., 0]
-            tex_g = texel[..., 1]
-            tex_b = texel[..., 2]
+            flat = jnp.maximum(idx_all, 0).reshape(-1)
+            tex_rgb = atlas_flat.at[flat].get(
+                mode="promise_in_bounds").reshape((K_TEX,) + shape + (3,))
         else:
-            texel = atlas_flat[jnp.maximum(p["pend"], 0)]  # (R, 128, 3)
-            tex_r = texel[..., 0]
-            tex_g = texel[..., 1]
-            tex_b = texel[..., 2]
-        has_pend = p["pend"] >= 0
-        has_trec = p["wslot"] >= 0
-        in_flight = has_pend & ~has_trec
-        p["tr"] = jnp.where(in_flight, p["tr"] * tex_r, p["tr"])
-        p["tg"] = jnp.where(in_flight, p["tg"] * tex_g, p["tg"])
-        p["tb"] = jnp.where(in_flight, p["tb"] * tex_b, p["tb"])
-        # refresh the in-kernel texel cache with the resolved value:
-        # entry 0 takes the new texel, older entries shift down (FIFO)
-        new_vals = {"idx": p["pend"], "r": tex_r, "g": tex_g, "b": tex_b}
-        for k in range(N_CACHE - 1, 0, -1):
-            for f in ("idx", "r", "g", "b"):
-                p[f"c{k}{f}"] = jnp.where(
-                    has_pend, p[f"c{k - 1}{f}"], p[f"c{k}{f}"])
-        for f in ("idx", "r", "g", "b"):
-            p[f"c0{f}"] = jnp.where(has_pend, new_vals[f], p[f"c0{f}"])
+            tex_rgb = atlas_flat[jnp.maximum(idx_all, 0)]
+
+        def mask_mul(rgb_r, rgb_g, rgb_b, mask):
+            for k in range(K_TEX):
+                bit = ((mask >> k) & 1) == 1
+                rgb_r = jnp.where(bit, rgb_r * tex_rgb[k, ..., 0], rgb_r)
+                rgb_g = jnp.where(bit, rgb_g * tex_rgb[k, ..., 1], rgb_g)
+                rgb_b = jnp.where(bit, rgb_b * tex_rgb[k, ..., 2], rgb_b)
+            return rgb_r, rgb_g, rgb_b
+
+        p["tr"], p["tg"], p["tb"] = mask_mul(
+            p["tr"], p["tg"], p["tb"], tmask_o)
+        resolved = []
+        for m in range(M_REC):
+            rr, rg, rb, rs_, rk = recs_o[5 * m:5 * m + 5]
+            rr, rg, rb = mask_mul(rr, rg, rb, rk)
+            resolved.append((rr, rg, rb, rs_))
+
+        # refresh the in-kernel texel cache with the resolved values:
+        # entry 0 takes the newest texel, older entries shift (FIFO)
+        for k in range(K_TEX):
+            has = tex_o[k] >= 0
+            for c in range(N_CACHE - 1, 0, -1):
+                for f in ("idx", "r", "g", "b"):
+                    p[f"c{c}{f}"] = jnp.where(
+                        has, p[f"c{c - 1}{f}"], p[f"c{c}{f}"])
+            p["c0idx"] = jnp.where(has, tex_o[k], p["c0idx"])
+            p["c0r"] = jnp.where(has, tex_rgb[k, ..., 0], p["c0r"])
+            p["c0g"] = jnp.where(has, tex_rgb[k, ..., 1], p["c0g"])
+            p["c0b"] = jnp.where(has, tex_rgb[k, ..., 2], p["c0b"])
 
         # fold records straight into the CALLER's P pixel planes: group
         # g's contribution at lane i belongs to pixel i + g*shift, i.e.
@@ -804,9 +859,6 @@ def wavefront_trace_pallas3(
         # fuses into the one add per stripe, so ss traffic stays 3*P
         # planes per launch instead of 3*P*G
         ss = s["ss"]
-        trr = p["wr"] * tex_r
-        trg = p["wg"] * tex_g
-        trb = p["wb"] * tex_b
         shift = n // G if G > 1 else 0
 
         def rollg(x, g):
@@ -818,19 +870,18 @@ def wavefront_trace_pallas3(
             acc_r = acc_g = acc_b = jnp.zeros(shape, jnp.float32)
             for g in range(G):
                 k = g * n_slots + pstripe
-                mt = has_trec & (p["wslot"] == k)
-                mc = cslot == k
-                acc_r += rollg(jnp.where(mt, trr, 0.0)
-                               + jnp.where(mc, cr, 0.0), g)
-                acc_g += rollg(jnp.where(mt, trg, 0.0)
-                               + jnp.where(mc, cg, 0.0), g)
-                acc_b += rollg(jnp.where(mt, trb, 0.0)
-                               + jnp.where(mc, cb, 0.0), g)
+                gr = gg = gb = jnp.zeros(shape, jnp.float32)
+                for rr, rg, rb, rs_ in resolved:
+                    mm = rs_ == k
+                    gr = gr + jnp.where(mm, rr, 0.0)
+                    gg = gg + jnp.where(mm, rg, 0.0)
+                    gb = gb + jnp.where(mm, rb, 0.0)
+                acc_r += rollg(gr, g)
+                acc_g += rollg(gg, g)
+                acc_b += rollg(gb, g)
             ss = ss.at[3 * pstripe + 0].add(acc_r)
             ss = ss.at[3 * pstripe + 1].add(acc_g)
             ss = ss.at[3 * pstripe + 2].add(acc_b)
-        p["pend"] = jnp.full(shape, -1, jnp.int32)
-        p["wslot"] = jnp.full(shape, -1, jnp.int32)
 
         counters = s["counters"]
         totals = counts.sum(axis=0)

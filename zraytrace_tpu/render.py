@@ -217,6 +217,18 @@ def _count(mask) -> jnp.ndarray:
     return jnp.sum(mask, dtype=jnp.uint32)
 
 
+def _interleave_shift(n: int, G: int, tile_coherent: bool) -> int:
+    """Lane-space rotation per sample group. A multiple of 512 keeps
+    the tile-coherent 512-lane blocks intact (each group lands on whole
+    tiles); any value is correct — (i + g*shift) mod n is a bijection."""
+    if G <= 1:
+        return 0
+    s = n // G
+    if tile_coherent and s >= 512:
+        s = s // 512 * 512
+    return s
+
+
 def wavefront_trace(
     scene: Scene,
     camera: cam.Camera,
@@ -233,9 +245,10 @@ def wavefront_trace(
     n_slots: int = 1,
     tri_flash=None,
     tile_coherent: bool = False,
+    sample_groups: int = 1,
 ):
     """Trace samples ``[sample_start, sample_start + spp)`` for a set of
-    pixels per lane. Returns (slot_sums (n_slots, N, 3), counters (6,2)).
+    pixels per lane. Returns (slot_sums (n_slots*G, N, 3), counters (6,2)).
 
     Lane ``i`` processes pixels ``pixel_base[i] + k * pixel_stride`` for
     ``k in [0, n_slots)`` (skipping ids >= n_pixels), one sample stream
@@ -246,11 +259,25 @@ def wavefront_trace(
     is traced, so one compiled program serves every resolution/spp/depth
     at a given lane count.
 
+    ``sample_groups`` (G) > 1 additionally splits each pixel's spp into
+    G windows traced by G DIFFERENT lanes (the megakernel's rotated-base
+    interleave, ops/bounce_kernel3): slot k means (pixel stripe
+    p = k mod n_slots, group g = k div n_slots), and the lane traces
+    pixel position ``(i + g*shift) mod n + p*stride`` for the g-th
+    spp/G window. Heavy pixels spread over G lanes, cutting the
+    lockstep occupancy waste. Counters stay bit-exact (PCG4D streams
+    are keyed by (pixel, sample)); pixel sums change only in float
+    summation order. The caller folds group planes back with
+    ``np.roll`` (render()).
+
     ``sample_start`` offsets the per-lane sample stream — the 'sample'
     mesh axis shards this range and psums the pixel sums (the sample mean
     at raytrace.zig:182 is associative).
     """
     n = pixel_base.shape[0]
+    G = int(sample_groups)
+    n_slots_t = n_slots * G
+    shift = _interleave_shift(n, G, tile_coherent)
     width = jnp.asarray(width, jnp.int32)
     height = jnp.asarray(height, jnp.int32)
     spp = jnp.asarray(spp, jnp.int32)
@@ -266,6 +293,7 @@ def wavefront_trace(
     fw = width.astype(jnp.float32)
     fh = height.astype(jnp.float32)
     tiles_x = (width + 63) // 64
+    gspp = (spp + G - 1) // G if G > 1 else spp
 
     def camera_rays(pixel_ids, sample_idx):
         j = zrng.uniform4(seed, pixel_ids, sample_idx, 0, zrng.STREAM_CAMERA)
@@ -274,8 +302,24 @@ def wavefront_trace(
         u, v = cam.pixel_uv(px, py, j[:, 0], j[:, 1], fw, fh)
         return cam.get_rays(camera, u, v)
 
+    def win_bounds(slot):
+        # the sample window of slot k: group g = k div n_slots traces
+        # samples [start + g*gspp, min(start + (g+1)*gspp, end))
+        if G == 1:
+            return sample_start, sample_end
+        g = slot // n_slots
+        ws = sample_start + g * gspp
+        return ws, jnp.minimum(ws + gspp, sample_end)
+
     def lane_pixel(slot):
-        g = pixel_base + slot * pixel_stride
+        if G > 1:
+            g_grp = slot // n_slots
+            p_str = slot - g_grp * n_slots
+            rot = pixel_base + g_grp * shift
+            rot = jnp.where(rot >= n, rot - n, rot)
+            g = rot + p_str * pixel_stride
+        else:
+            g = pixel_base + slot * pixel_stride
         if not tile_coherent:
             return g
         # Tile-coherent order: consecutive 512-lane groups map to 64x8
@@ -304,25 +348,27 @@ def wavefront_trace(
         path_depth=jnp.zeros((n,), jnp.int32),
         sample_idx=jnp.full((n,), sample_start, jnp.int32),
         slot=jnp.zeros((n,), jnp.int32),
-        slot_sums=jnp.zeros((n_slots, n, 3), jnp.float32),
+        slot_sums=jnp.zeros((n_slots_t, n, 3), jnp.float32),
         counters=jnp.zeros((N_COUNTERS, 2), jnp.uint32),
     )
 
     def lane_alive(slot):
-        return (slot < n_slots) & (lane_pixel(slot) < n_pixels)
+        return (slot < n_slots_t) & (lane_pixel(slot) < n_pixels)
 
     def cond(s):
-        if tile_coherent:
-            # invalid (partial-tile padding) positions interleave with
-            # valid ones across a lane's slot sequence; a lane parked on
-            # one advances a slot per iteration (see body) and must stay
-            # in the loop until its slots are exhausted
-            return jnp.any(s["slot"] < n_slots)
+        if tile_coherent or G > 1:
+            # invalid (partial-tile padding) positions and empty sample
+            # windows interleave with valid ones across a lane's slot
+            # sequence; a lane parked on one advances a slot per
+            # iteration (see body) and must stay in the loop until its
+            # slots are exhausted
+            return jnp.any(s["slot"] < n_slots_t)
         return jnp.any(lane_alive(s["slot"]))
 
     def body(s):
         pixel_ids = lane_pixel(s["slot"])
-        active = lane_alive(s["slot"])
+        ws_cur, we_cur = win_bounds(s["slot"])
+        active = lane_alive(s["slot"]) & (s["sample_idx"] < we_cur)
         # Depth check happens before tracing, exactly like the recursion
         # guard at raytrace.zig:64-67.
         exhausted = active & (s["path_depth"] >= max_depth)
@@ -377,9 +423,9 @@ def wavefront_trace(
         # complete, commit its sum into the slot output and move the lane
         # to its next pixel.
         sample_idx = s["sample_idx"] + path_done.astype(jnp.int32)
-        pixel_finished = path_done & (sample_idx >= sample_end)
+        pixel_finished = path_done & (sample_idx >= we_cur)
         slot_sums = s["slot_sums"]
-        for k in range(n_slots):
+        for k in range(n_slots_t):
             commit_k = (pixel_finished & (s["slot"] == k))[:, None]
             slot_sums = slot_sums.at[k].set(
                 slot_sums[k] + jnp.where(commit_k, acc, 0.0)
@@ -390,11 +436,16 @@ def wavefront_trace(
             # a lane whose CURRENT slot maps to an invalid padding
             # position skips it (one slot per iteration) — later slots
             # may still map to real pixels
-            skip = (s["slot"] < n_slots) & (pixel_ids >= n_pixels)
-            advance = advance | skip
-            sample_idx = jnp.where(skip, sample_start, sample_idx)
+            advance = advance | (
+                (s["slot"] < n_slots_t) & (pixel_ids >= n_pixels))
+        if G > 1:
+            # an empty sample window (spp < G*gspp tail) skips the same
+            # way
+            advance = advance | (
+                (s["slot"] < n_slots_t) & (s["sample_idx"] >= we_cur))
         slot = s["slot"] + advance.astype(jnp.int32)
-        sample_idx = jnp.where(pixel_finished, sample_start, sample_idx)
+        ws_next, _ = win_bounds(slot)
+        sample_idx = jnp.where(advance, ws_next, sample_idx)
 
         # Regenerate the next camera sample on lanes whose path just
         # ended (or that just skipped an invalid padding slot).
@@ -418,7 +469,8 @@ def wavefront_trace(
 
 
 _wavefront_jit = jax.jit(
-    wavefront_trace, static_argnames=("n_slots", "tile_coherent")
+    wavefront_trace,
+    static_argnames=("n_slots", "tile_coherent", "sample_groups"),
 )
 
 
@@ -507,11 +559,23 @@ def render(scene: Scene, camera: cam.Camera, params: RenderParams):
             mat_classes=material_classes(scene),
         )
     else:
+        xg = max(1, min(params.wavefront_sample_groups, spp))
         sums, counters = _wavefront_jit(
             scene, camera, base, params.seed, w, h, spp, params.max_depth,
             0, tri_bvh, n_lanes, n_pixels, n_slots, tri_flash,
-            tile_coherent,
+            tile_coherent, xg,
         )
+        if xg > 1:
+            # fold group planes back onto the caller's positions: group
+            # g's lane i traced position (i + g*shift) mod n + p*stride
+            shf = _interleave_shift(n_lanes, xg, tile_coherent)
+            s_np = np.asarray(sums)
+            folded = np.zeros((n_slots, n_lanes, 3), s_np.dtype)
+            for g in range(xg):
+                for p in range(n_slots):
+                    folded[p] += np.roll(s_np[g * n_slots + p],
+                                         g * shf, axis=0)
+            sums = folded
     sums = np.asarray(sums).reshape(n_slots * n_lanes, 3)
     if tile_coherent:
         # invert the 64x8 tile map: global index g -> pixel id
