@@ -73,6 +73,9 @@ LANE = 128
 # the teapot sweep (1.82M vs 1.77M rays/s; PERF.md round 3).
 R_RAYS = int(_os.environ.get("ZRAYTRACE_FLASH_RAYS", "256"))
 assert 512 % R_RAYS == 0, R_RAYS
+# exact XLA-side per-ray chunk culling (see _ray_chunk_worklists) vs
+# the in-kernel conservative interval prescan
+_XLA_WL = _os.environ.get("ZRAYTRACE_FLASH_XLA_WL", "1") == "1"
 
 # packed triangle component planes, each (n_chunks, 128):
 # e1(3) e2(3) fn(3) e2xa(3) e1xa(3) a_dot_fn(1) valid(1) orig_id(1)
@@ -167,23 +170,62 @@ def pack_tri_planes(a, b, c, order=None, tri_mat=None,
     return TriPlanes(planes=planes, bounds=bounds, n_tris=T, attrs=attrs)
 
 
-def _kernel(planes_ref, bounds_ref, o_ref, d_ref, ti_ref, tmin_ref,
-            out_ref, wl_ref, need_uv=True):
-    n_chunks = planes_ref.shape[1]
-    R = o_ref.shape[0]
+def _ray_chunk_worklists(bounds, o, d, ti, t_min, n_blocks):
+    """EXACT per-ray chunk reachability, computed in XLA and OR-reduced
+    per ray block: per (ray, chunk) a slab test of the chunk AABB
+    against the ray's own window (t_min, t_init]. The in-kernel scalar
+    prescan (see _kernel) is conservative over the block's ORIGIN x
+    DIRECTION interval family — for bounce blocks the direction
+    interval spans zero on every axis, so it degenerates to
+    "everything within t_cap" and one sky ray keeps t_cap huge. The
+    exact per-ray union is dramatically tighter for blocks far from the
+    mesh (the mesh subtends a small solid angle there), which is most
+    of them in the reference scenes.
 
-    ox = o_ref[:, 0:1]  # (R, 1) broadcast against (1, 128) tri planes
-    oy = o_ref[:, 1:2]
-    oz = o_ref[:, 2:3]
-    dx = d_ref[:, 0:1]
-    dy = d_ref[:, 1:2]
-    dz = d_ref[:, 2:3]
-    # o x d per ray
-    pxv = oy * dz - oz * dy
-    pyv = oz * dx - ox * dz
-    pzv = ox * dy - oy * dx
+    Returns (wl (n_blocks, C) i32 — reachable chunk ids first, in
+    ascending order; n_work (n_blocks, 1) i32). Skipping a chunk no
+    ray in the block can reach inside its own (t_min, t_init] window
+    cannot change any winner: a seeded winner is only displaced by a
+    strictly closer hit, and hits need t <= far and t > t_min."""
+    C = bounds.shape[0]
+    lo = bounds[None, :, 0:3]
+    hi = bounds[None, :, 3:6]
+    # |d| < 1e-30 (incl. +-0) is replaced by +1e-30: movement along such
+    # an axis within any in-scene t is negligible either way, so the
+    # test degenerates to "origin inside slab" — conservative (see near
+    # <= far with +-huge candidates), never excludes a reachable chunk.
+    safe_d = jnp.where(jnp.abs(d) < 1e-30, 1e-30, d)
+    inv = (1.0 / safe_d)[:, None, :]
+    t1 = (lo - o[:, None, :]) * inv  # (n, C, 3)
+    t2 = (hi - o[:, None, :]) * inv
+    near = jnp.max(jnp.minimum(t1, t2), axis=-1)
+    far = jnp.min(jnp.maximum(t1, t2), axis=-1)
+    reach = (near <= far) & (far > t_min) & (near <= ti[:, None])
+    reach_b = jnp.any(reach.reshape(n_blocks, -1, C), axis=1)
+    n_work = jnp.sum(reach_b, axis=1, dtype=jnp.int32)[:, None]
+    # stable argsort on ~reach puts reachable ids first, ascending
+    wl = jnp.argsort(~reach_b, axis=1, stable=True).astype(jnp.int32)
+    return wl, n_work
+
+
+def _kernel(*refs, need_uv=True, xla_wl=False):
+    if xla_wl:
+        (planes_ref, o_ref, d_ref, ti_ref, tmin_ref, wl_in, nw_ref,
+         out_ref) = refs
+    else:
+        (planes_ref, bounds_ref, o_ref, d_ref, ti_ref, tmin_ref,
+         out_ref, wl_ref) = refs
+    n_chunks = planes_ref.shape[1]
     t_min = tmin_ref[0]
     t_init = ti_ref[:, 0]
+
+    if xla_wl:
+        # work list precomputed in XLA (_ray_chunk_worklists): exact
+        # per-ray reachability OR-reduced per block, delivered via SMEM
+        n_work = nw_ref[0, 0, 0]
+        read_wl = lambda i: wl_in[0, 0, i]
+        return _winner_scan(planes_ref, o_ref, d_ref, read_wl, n_work,
+                            t_min, t_init, out_ref, need_uv)
     t_cap = jnp.max(t_init)
 
     # conservative per-block ray bounds for chunk culling: the block's
@@ -240,10 +282,44 @@ def _kernel(planes_ref, bounds_ref, o_ref, d_ref, ti_ref, tmin_ref,
         return j + (near <= far).astype(jnp.int32)
 
     n_work = jax.lax.fori_loop(0, n_chunks, scan_body, jnp.int32(0))
+    return _winner_scan(planes_ref, o_ref, d_ref, lambda i: wl_ref[i],
+                        n_work, t_min, t_init, out_ref, need_uv)
+
+
+def _winner_scan(planes_ref, o_ref, d_ref, read_wl, n_work, t_min,
+                 t_init, out_ref, need_uv):
+    R = o_ref.shape[0]
+    ox = o_ref[:, 0:1]  # (R, 1) broadcast against (1, 128) tri planes
+    oy = o_ref[:, 1:2]
+    oz = o_ref[:, 2:3]
+    dx = d_ref[:, 0:1]
+    dy = d_ref[:, 1:2]
+    dz = d_ref[:, 2:3]
+    # o x d per ray
+    pxv = oy * dz - oz * dy
+    pyv = oz * dx - ox * dz
+    pzv = ox * dy - oy * dx
+
+    # COLUMNWISE running winners (round 3): the per-chunk cross-lane
+    # min + lane_of_min reductions (plus three masked-sum picks in uv
+    # mode) were ~1/3 of the chunk body. Each lane COLUMN now tracks
+    # its own best-t (strict <, so the earliest chunk keeps ties within
+    # a column) and the cross-lane reduction happens ONCE per block
+    # after the chunk loop. The winning (t, id, u, v) values are
+    # bit-identical to the per-chunk form (min is exact and the same
+    # candidates compete); only which of two bit-equal-t DISTINCT
+    # triangles wins can change (lane-first instead of chunk-first
+    # order) — exact ties of distinct triangles do not occur in the
+    # reference scenes (module docstring).
+    shape = (R, LANE)
+    tb0 = jnp.zeros(shape, jnp.float32) + t_init[:, None]
 
     def work_body(carry):
-        i, t_best, u_best, v_best, i_best = carry
-        ci = wl_ref[i]
+        if need_uv:
+            i, tb, ub, vb, ob = carry
+        else:
+            i, tb, cb = carry
+        ci = read_wl(i)
         pr = lambda k: planes_ref[k, ci, :][None, :]  # (1, 128)
         e1x, e1y, e1z = pr(0), pr(1), pr(2)
         e2x, e2y, e2z = pr(3), pr(4), pr(5)
@@ -251,8 +327,6 @@ def _kernel(planes_ref, bounds_ref, o_ref, d_ref, ti_ref, tmin_ref,
         qax, qay, qaz = pr(9), pr(10), pr(11)  # e2 x a
         rax, ray_, raz = pr(12), pr(13), pr(14)  # e1 x a
         adf = pr(15)
-        valid = pr(16)
-        orig = pr(17) if need_uv else None
 
         det = -(dx * fnx + dy * fny + dz * fnz)
         safe = jnp.abs(det) > 1e-12
@@ -263,51 +337,57 @@ def _kernel(planes_ref, bounds_ref, o_ref, d_ref, ti_ref, tmin_ref,
         v = -(pxv * e1x + pyv * e1y + pzv * e1z
               - (dx * rax + dy * ray_ + dz * raz)) * inv_det
         t = (ox * fnx + oy * fny + oz * fnz - adf) * inv_det
-        # t_best tightens the window across chunks like the
-        # reference's recursive t_max tightening (bvh.zig:196-203)
-        is_hit = ((det >= DET_EPS) & (t > t_min)
-                  & (t < t_best[:, None])
+        # the padding-triangle `valid` plane is not tested: padding rows
+        # pack fn = 0, so det = -(d . 0) = +-0 < DET_EPS never hits.
+        # tb tightens the window across chunks like the reference's
+        # recursive t_max tightening (bvh.zig:196-203), per column.
+        better = ((det >= DET_EPS) & (t > t_min)
                   & (u >= 0.0) & (v >= 0.0)
-                  & (u + v <= 1.0) & (valid > 0.5))
-        t = jnp.where(is_hit, t, _BIG)
-
-        tc = jnp.min(t, axis=1, keepdims=True)  # (R, 1)
-        lane_ids = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
-        first = t == tc  # may tie; argmin-by-lowest-lane below
-        lane_of_min = jnp.min(
-            jnp.where(first, lane_ids, jnp.int32(LANE)), axis=1,
-            keepdims=True)
-
-        better = tc[:, 0] < t_best
-        t_best = jnp.where(better, tc[:, 0], t_best)
+                  & (u + v <= 1.0) & (t < tb))
+        tb = jnp.where(better, t, tb)
         if need_uv:
-            # each pick is a full cross-lane masked-sum reduction —
-            # this mode returns ORIGINAL triangle ids and uv
-            sel = lane_ids == lane_of_min
-            pick = lambda x: jnp.sum(jnp.where(sel, x, 0.0), axis=1,
-                                     keepdims=True)
-            ic = pick(jnp.broadcast_to(orig, t.shape)).astype(jnp.int32)
-            uc = pick(u)
-            vc = pick(v)
-            u_best = jnp.where(better, uc[:, 0], u_best)
-            v_best = jnp.where(better, vc[:, 0], v_best)
-        else:
-            # attrs fast path: the winner id is the PACKED SORTED id
-            # chunk*128 + lane — no reduction needed beyond lane_of_min
-            ic = ci * LANE + lane_of_min
-        i_best = jnp.where(better, ic[:, 0], i_best)
-        return i + 1, t_best, u_best, v_best, i_best
+            ub = jnp.where(better, u, ub)
+            vb = jnp.where(better, v, vb)
+            ob = jnp.where(better, jnp.zeros(shape) + pr(17), ob)
+            return i + 1, tb, ub, vb, ob
+        cb = jnp.where(better, ci, cb)
+        return i + 1, tb, cb
 
-    init = (
-        jnp.int32(0),
-        t_init,  # sphere-seeded running winner (or _BIG)
-        jnp.zeros((R,), jnp.float32),
-        jnp.zeros((R,), jnp.float32),
-        jnp.zeros((R,), jnp.int32),
-    )
-    _, t_best, u_best, v_best, i_best = jax.lax.while_loop(
-        lambda c: c[0] < n_work, work_body, init
-    )
+    fzs = lambda: jnp.zeros(shape, jnp.float32)
+    if need_uv:
+        init = (jnp.int32(0), tb0, fzs(), fzs(), fzs())
+        _, tb, ub, vb, ob = jax.lax.while_loop(
+            lambda c: c[0] < n_work, work_body, init)
+        cb = None
+    else:
+        init = (jnp.int32(0), tb0, jnp.zeros(shape, jnp.int32))
+        _, tb, cb = jax.lax.while_loop(
+            lambda c: c[0] < n_work, work_body, init)
+
+    # one cross-lane reduction pass per block
+    t_best = jnp.min(tb, axis=1)  # (R,)
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    sel = tb == t_best[:, None]  # may tie; lowest packed id wins below
+    if need_uv:
+        # ORIGINAL ids + uv mode: the winning column's u/v/orig values
+        # (tracked columnwise) are picked with masked-sum reductions —
+        # once per block, not per chunk
+        lane_of_min = jnp.min(
+            jnp.where(sel, lane_ids, jnp.int32(LANE)), axis=1,
+            keepdims=True)
+        sel2 = lane_ids == lane_of_min
+        pick = lambda x: jnp.sum(jnp.where(sel2, x, 0.0), axis=1)
+        u_best = pick(ub)
+        v_best = pick(vb)
+        i_best = pick(ob).astype(jnp.int32)
+    else:
+        # attrs fast path: the winner id IS the packed sorted id
+        # chunk*128 + lane; ties resolve to the lowest packed id
+        idc = cb * LANE + lane_ids
+        i_best = jnp.min(
+            jnp.where(sel, idc, jnp.int32(0x7FFFFFFF)), axis=1)
+        u_best = jnp.zeros((R,), jnp.float32)
+        v_best = jnp.zeros((R,), jnp.float32)
     hit = (t_best < t_init).astype(jnp.float32)
     out_ref[:] = jnp.stack(
         [t_best, u_best, v_best, i_best.astype(jnp.float32), hit,
@@ -342,32 +422,72 @@ def flash_intersect_triangles(planes: TriPlanes, o, d, t_min, t_init=None):
     n_chunks = planes.planes.shape[1]
     need_uv = planes.attrs is None
 
-    def kern(*refs):
-        return _kernel(*refs, need_uv=need_uv)
+    if _XLA_WL:
+        # exact per-ray chunk reachability computed in XLA, OR-reduced
+        # per block and fed in as an SMEM work list (one (1, C) row per
+        # grid block) — see _ray_chunk_worklists
+        wl, nw = _ray_chunk_worklists(planes.bounds, o, d, ti[:, 0],
+                                      t_min, n_blocks)
+        # 3D with a singleton middle dim: Mosaic requires the last two
+        # block dims to equal the array dims for SMEM inputs
+        wl = wl[:, None, :]
+        nw = nw[:, :, None]
 
-    out = pl.pallas_call(
-        kern,
-        grid=(n_blocks,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # planes, full
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # chunk bounds
-            pl.BlockSpec((R_RAYS, 3), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((R_RAYS, 3), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((R_RAYS, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
-        out_specs=pl.BlockSpec((R_RAYS, 8), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, 8), jnp.float32),
-        scratch_shapes=[pltpu.SMEM((n_chunks,), jnp.int32)],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
-        ),
-        interpret=jax.default_backend() == "cpu",
-    )(planes.planes, planes.bounds, o, d, ti, tmin_arr)
+        def kern(*refs):
+            return _kernel(*refs, need_uv=need_uv, xla_wl=True)
+
+        out = pl.pallas_call(
+            kern,
+            grid=(n_blocks,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # planes, full
+                pl.BlockSpec((R_RAYS, 3), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((R_RAYS, 3), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((R_RAYS, 1), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, n_chunks), lambda i: (i, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                             memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec((R_RAYS, 8), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n, 8), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            ),
+            interpret=jax.default_backend() == "cpu",
+        )(planes.planes, o, d, ti, tmin_arr, wl, nw)
+    else:
+        def kern(*refs):
+            return _kernel(*refs, need_uv=need_uv)
+
+        out = pl.pallas_call(
+            kern,
+            grid=(n_blocks,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # planes, full
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # chunk bounds
+                pl.BlockSpec((R_RAYS, 3), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((R_RAYS, 3), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((R_RAYS, 1), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec((R_RAYS, 8), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n, 8), jnp.float32),
+            scratch_shapes=[pltpu.SMEM((n_chunks,), jnp.int32)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            ),
+            interpret=jax.default_backend() == "cpu",
+        )(planes.planes, planes.bounds, o, d, ti, tmin_arr)
 
     t = out[:, 0]
     uv = out[:, 1:3]
