@@ -102,7 +102,9 @@ def main() -> int:
         n_pixels, int(os.environ.get("ZRAYTRACE_BENCH_LANES", str(1 << 17)))
     )
     if tile_coherent:
-        padded = ((size + 63) // 64) * ((size + 7) // 8) * 512
+        from zraytrace_tpu.render import TILE_H, TILE_W
+
+        padded = (-(-size // TILE_W)) * (-(-size // TILE_H)) * 512
         n_lanes = min(padded, -(-n_lanes // 512) * 512)
         n_slots = -(-padded // n_lanes)
     else:

@@ -116,10 +116,10 @@ def test_tile_coherent_mapping_bitexact():
     import numpy as np
 
     from tests.test_render import _mini_scene
-    from zraytrace_tpu.render import wavefront_trace
+    from zraytrace_tpu.render import TILE_H, TILE_W, wavefront_trace
 
     scene, camera = _mini_scene()
-    w, h = 80, 12  # not multiples of 64/8: exercises partial tiles
+    w, h = 80, 12  # not multiples of the tile shape: partial tiles
     spp, depth = 2, 3
     n_pixels = w * h
 
@@ -128,7 +128,7 @@ def test_tile_coherent_mapping_bitexact():
         scene, camera, base, 42, w, h, spp, depth, 0, None,
         n_pixels, n_pixels, 1)
 
-    tx, ty = -(-w // 64), -(-h // 8)
+    tx, ty = -(-w // TILE_W), -(-h // TILE_H)
     padded = tx * ty * 512
     # multi-slot: lanes cross invalid padding positions mid-sequence and
     # must skip them without dying (the scene-0 sweep bug)
@@ -142,8 +142,8 @@ def test_tile_coherent_mapping_bitexact():
     # invert the tile map
     g = np.arange(padded)
     blk, within = g // 512, g % 512
-    px = (blk % tx) * 64 + within % 64
-    py = (blk // tx) * 8 + within // 64
+    px = (blk % tx) * TILE_W + within % TILE_W
+    py = (blk // tx) * TILE_H + within // TILE_W
     valid = (px < w) & (py < h)
     flat = np.zeros((n_pixels, 3), np.float32)
     flat[py[valid] * w + px[valid]] = np.asarray(sums_tile[0])[valid]

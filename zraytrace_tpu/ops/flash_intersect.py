@@ -69,13 +69,17 @@ import os as _os
 LANE = 128
 # rays (sublanes) per grid block. Callers align ray counts to 512, so
 # any divisor of 512 is safe; smaller blocks cull chunks more tightly
-# (per-block ray bounds shrink) at more per-block fixed cost. 256 won
-# the teapot sweep (1.82M vs 1.77M rays/s; PERF.md round 3).
-R_RAYS = int(_os.environ.get("ZRAYTRACE_FLASH_RAYS", "256"))
+# (the per-block reachable-chunk union shrinks) at more per-block fixed
+# cost. With the exact XLA work lists 128 won the teapot sweep
+# (5.07M vs 4.86M at 256, 4.80M at 64; PERF.md round 3).
+R_RAYS = int(_os.environ.get("ZRAYTRACE_FLASH_RAYS", "128"))
 assert 512 % R_RAYS == 0, R_RAYS
 # exact XLA-side per-ray chunk culling (see _ray_chunk_worklists) vs
 # the in-kernel conservative interval prescan
 _XLA_WL = _os.environ.get("ZRAYTRACE_FLASH_XLA_WL", "1") == "1"
+# timing probe (bench only): force every work list empty to measure the
+# non-intersection share of the wall; hits vanish, images go wrong
+_NOWORK = _os.environ.get("ZRAYTRACE_FLASH_NOWORK", "0") == "1"
 
 # packed triangle component planes, each (n_chunks, 128):
 # e1(3) e2(3) fn(3) e2xa(3) e1xa(3) a_dot_fn(1) valid(1) orig_id(1)
@@ -203,6 +207,8 @@ def _ray_chunk_worklists(bounds, o, d, ti, t_min, n_blocks):
     reach = (near <= far) & (far > t_min) & (near <= ti[:, None])
     reach_b = jnp.any(reach.reshape(n_blocks, -1, C), axis=1)
     n_work = jnp.sum(reach_b, axis=1, dtype=jnp.int32)[:, None]
+    if _NOWORK:
+        n_work = jnp.zeros_like(n_work)
     # stable argsort on ~reach puts reachable ids first, ascending
     wl = jnp.argsort(~reach_b, axis=1, stable=True).astype(jnp.int32)
     return wl, n_work

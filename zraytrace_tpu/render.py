@@ -39,6 +39,19 @@ from zraytrace_tpu.scene import Scene
 
 _BIG = np.float32(3.4e38)  # numpy scalar: no backend init at import
 
+# Tile-coherent lane order: consecutive 512-lane groups map to
+# TILE_W x TILE_H pixel tiles (TILE_W * TILE_H == 512). Pixel ids (and
+# so RNG streams / counters / sums) are identical for any shape; the
+# shape only sets the screen footprint of the flash kernel's ray
+# blocks. Teapot sweep with R_RAYS=128 blocks (each block covers a
+# TILE_W x (128/TILE_W * TILE_H/4)-ish strip): 64x8 5.07M, 32x16
+# 5.40M, 16x32 5.28M rays/s (PERF.md round 3).
+import os as _os
+
+TILE_W = int(_os.environ.get("ZRAYTRACE_TILE_W", "32"))
+TILE_H = 512 // TILE_W
+assert TILE_W * TILE_H == 512, TILE_W
+
 # Counter slots, mirroring Progress (raytrace.zig:20-34), plus wavefront
 # iteration telemetry (lockstep steps executed; the ratio iterations *
 # lanes / rays is the occupancy waste factor).
@@ -292,7 +305,7 @@ def wavefront_trace(
     )
     fw = width.astype(jnp.float32)
     fh = height.astype(jnp.float32)
-    tiles_x = (width + 63) // 64
+    tiles_x = (width + TILE_W - 1) // TILE_W
     gspp = (spp + G - 1) // G if G > 1 else spp
 
     def camera_rays(pixel_ids, sample_idx):
@@ -322,19 +335,19 @@ def wavefront_trace(
             g = pixel_base + slot * pixel_stride
         if not tile_coherent:
             return g
-        # Tile-coherent order: consecutive 512-lane groups map to 64x8
-        # pixel tiles instead of image rows. Pixel IDS are unchanged (RNG
-        # streams, counters and per-pixel sums are bit-identical); only
-        # which lane traces which pixel moves, which makes ray blocks
-        # spatially tight so the flash kernel's chunk culling bites
-        # (PERF.md round 2). Out-of-image positions of partial tiles map
-        # to n_pixels (idle lanes).
+        # Tile-coherent order: consecutive 512-lane groups map to
+        # TILE_W x TILE_H pixel tiles instead of image rows. Pixel IDS
+        # are unchanged (RNG streams, counters and per-pixel sums are
+        # bit-identical); only which lane traces which pixel moves,
+        # which makes ray blocks spatially tight so the flash kernel's
+        # chunk culling bites (PERF.md round 2). Out-of-image positions
+        # of partial tiles map to n_pixels (idle lanes).
         blk = g // 512
         within = g % 512
         bx = blk % tiles_x
         by = blk // tiles_x
-        px = bx * 64 + within % 64
-        py = by * 8 + within // 64
+        px = bx * TILE_W + within % TILE_W
+        py = by * TILE_H + within // TILE_W
         return jnp.where((px < width) & (py < height),
                          py * width + px, n_pixels)
 
@@ -531,7 +544,7 @@ def render(scene: Scene, camera: cam.Camera, params: RenderParams):
             tri_mat=scene.tri_mat,
             const_materials=mesh_materials_const(scene))
         tile_coherent = True
-        padded = ((w + 63) // 64) * ((h + 7) // 8) * 512
+        padded = (-(-w // TILE_W)) * (-(-h // TILE_H)) * 512
         n_lanes = min(padded, -(-n_lanes // 512) * 512)
         n_slots = math.ceil(padded / n_lanes)
 
@@ -578,12 +591,12 @@ def render(scene: Scene, camera: cam.Camera, params: RenderParams):
             sums = folded
     sums = np.asarray(sums).reshape(n_slots * n_lanes, 3)
     if tile_coherent:
-        # invert the 64x8 tile map: global index g -> pixel id
+        # invert the TILE_W x TILE_H tile map: global index g -> pixel id
         g = np.arange(n_slots * n_lanes, dtype=np.int64)
         blk, within = g // 512, g % 512
-        tx = (w + 63) // 64
-        px = (blk % tx) * 64 + within % 64
-        py = (blk // tx) * 8 + within // 64
+        tx = -(-w // TILE_W)
+        px = (blk % tx) * TILE_W + within % TILE_W
+        py = (blk // tx) * TILE_H + within // TILE_W
         valid = (px < w) & (py < h)
         flat = np.zeros((n_pixels, 3), sums.dtype)
         flat[(py[valid] * w + px[valid])] = sums[valid]
