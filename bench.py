@@ -126,6 +126,10 @@ def main() -> int:
             sums, counters = out[0], out[1]
             if len(out) > 2:
                 n_launches[0] += int(out[2])
+            if len(out) > 3:  # ZRAYTRACE_K3_DIAG=1 occupancy probe
+                import numpy as _npd
+
+                n_launches.append(_npd.asarray(out[3], _npd.uint64))
         else:
             sums, counters = _wavefront_jit(
                 scene, camera, ids, 42, size, size, n_samples, depth,
@@ -167,6 +171,13 @@ def main() -> int:
     rays, iters = ints[C_RAYS], ints[C_ITERS]
     rays_per_sec = rays / elapsed
 
+    if len(n_launches) > 1:
+        import numpy as _npd
+
+        dtot = sum(n_launches[1:])
+        print(f"# diag: occupied_slots={int(dtot[0])} "
+              f"slot_any_launches={[int(x) for x in dtot[1:]]}",
+              file=sys.stderr)
     print(
         f"# size={size} spp={spp} depth={depth} rays={rays} iters={iters} "
         f"launches={n_launches[0]} "

@@ -91,6 +91,30 @@ _PACKED = _os.environ.get("ZRAYTRACE_K3_PACKED", "0") == "1"
 # (F,3) f32 row gather with flat indices + promise_in_bounds (skips the
 # clamp); A/B'd on hardware before flipping the default.
 _PROMISE = _os.environ.get("ZRAYTRACE_K3_PROMISE", "0") == "1"
+# Per-slot cond-gated gathers: slot k's (N,) atlas row gather is wrapped
+# in a lax.cond on "any lane occupies slot k" — a launch whose later
+# slots are empty everywhere skips those 131k-row gathers entirely (XLA
+# conditionals branch at runtime on this backend; teapot's cond guard
+# measured a real 1.34x). Bit-exact: empty slots are never referenced
+# by any mask bit.
+_CONDGATHER = _os.environ.get("ZRAYTRACE_K3_CONDGATHER", "0") == "1"
+# Cross-group texel-cache SHARING: with sample_groups G > 1 a pixel's
+# spp windows are traced by G different lanes (offset multiples of
+# n/G in flat lane space), each with a PRIVATE cache — the pixel's
+# texel footprint used to be gathered up to G times. After each launch
+# the glue rolls every lane's newest resolved (idx, rgb) across the
+# G-1 group offsets and FIFO-pushes it (dedup-checked) into the
+# receiving lanes' caches. Values are exact atlas texels, so images
+# stay equal up to multiply order and counters bit-exact; only the
+# hit/miss schedule changes.
+_SHARE = _os.environ.get("ZRAYTRACE_K3_SHARE", "0") == "1"
+# Rotating share: push ONE rolled neighbor per launch, its group offset
+# cycling over launches (d = 1 + launch mod (G-1)) — 1/(G-1) of the
+# per-launch share cost, slower cross-group propagation.
+_SHARE_ROT = _os.environ.get("ZRAYTRACE_K3_SHARE_ROT", "0") == "1"
+# diagnostics (bench only; changes the program shape): report total
+# occupied texel slots and per-slot any-occupied launch counts.
+_DIAG = _os.environ.get("ZRAYTRACE_K3_DIAG", "0") == "1"
 
 R_BLK = 64
 # Launches now stretch until the rare blocks accumulate; 32 in-kernel
@@ -776,6 +800,11 @@ def wavefront_trace_pallas3(
         counters=jnp.zeros((N_COUNTERS, 2), jnp.uint32),
         launches=jnp.uint32(0),
     )
+    if _DIAG:
+        # [0]: total occupied texel slots over all launches (gather rows
+        # actually needed); [1+k]: launches where slot k was occupied
+        # anywhere (cond-gated gathers actually executed).
+        state["diag"] = jnp.zeros((1 + K_TEX,), jnp.uint32)
     # The per-launch texel resolve is the wall (measured 65% of bench
     # wall at 11.8 ns/row for the naive 2D-indexed (F, 3) f32 gather).
     # Pack RGB into ONE int32 row (atlas texels are exactly u8/255 —
@@ -821,6 +850,13 @@ def wavefront_trace_pallas3(
             flat = jnp.maximum(idx_all, 0).reshape(-1)
             tex_rgb = atlas_flat.at[flat].get(
                 mode="promise_in_bounds").reshape((K_TEX,) + shape + (3,))
+        elif _CONDGATHER:
+            def _gk(k):
+                return jax.lax.cond(
+                    jnp.any(tex_o[k] >= 0),
+                    lambda: atlas_flat[jnp.maximum(tex_o[k], 0)],
+                    lambda: jnp.zeros(shape + (3,), jnp.float32))
+            tex_rgb = jnp.stack([_gk(k) for k in range(K_TEX)])
         else:
             tex_rgb = atlas_flat[jnp.maximum(idx_all, 0)]
 
@@ -852,6 +888,55 @@ def wavefront_trace_pallas3(
             p["c0r"] = jnp.where(has, tex_rgb[k, ..., 0], p["c0r"])
             p["c0g"] = jnp.where(has, tex_rgb[k, ..., 1], p["c0g"])
             p["c0b"] = jnp.where(has, tex_rgb[k, ..., 2], p["c0b"])
+
+        # cross-group cache share (_SHARE docstring at top): roll each
+        # lane's NEWEST resolved (idx, rgb) across the G-1 group
+        # offsets and push it — dedup-checked so repeated footprint
+        # texels don't thrash the FIFO — into the lanes that trace the
+        # same pixel's other sample windows.
+        if _SHARE and G > 1:
+            nh = jnp.zeros(shape, jnp.bool_)
+            nidx = jnp.full(shape, -1, jnp.int32)
+            nr = jnp.zeros(shape, jnp.float32)
+            ng_ = jnp.zeros(shape, jnp.float32)
+            nb = jnp.zeros(shape, jnp.float32)
+            for k in range(K_TEX):
+                hk = tex_o[k] >= 0
+                nh = nh | hk
+                nidx = jnp.where(hk, tex_o[k], nidx)
+                nr = jnp.where(hk, tex_rgb[k, ..., 0], nr)
+                ng_ = jnp.where(hk, tex_rgb[k, ..., 1], ng_)
+                nb = jnp.where(hk, tex_rgb[k, ..., 2], nb)
+            share_shift = n // G
+
+            def _push(has, idx, vr, vg, vb):
+                dup = jnp.zeros(shape, jnp.bool_)
+                for c in range(N_CACHE):
+                    dup = dup | (p[f"c{c}idx"] == idx)
+                do = has & ~dup
+                for c in range(N_CACHE - 1, 0, -1):
+                    for f in ("idx", "r", "g", "b"):
+                        p[f"c{c}{f}"] = jnp.where(
+                            do, p[f"c{c - 1}{f}"], p[f"c{c}{f}"])
+                p["c0idx"] = jnp.where(do, idx, p["c0idx"])
+                p["c0r"] = jnp.where(do, vr, p["c0r"])
+                p["c0g"] = jnp.where(do, vg, p["c0g"])
+                p["c0b"] = jnp.where(do, vb, p["c0b"])
+
+            def _rollp(x, off):
+                return jnp.roll(x.reshape(-1), off).reshape(shape)
+
+            if _SHARE_ROT and G > 2:
+                dsel = 1 + (s["launches"] % jnp.uint32(G - 1)).astype(
+                    jnp.int32)
+                off = dsel * jnp.int32(share_shift)
+                _push(_rollp(nh, off), _rollp(nidx, off),
+                      _rollp(nr, off), _rollp(ng_, off), _rollp(nb, off))
+            else:
+                for d in range(1, G):
+                    off = d * share_shift
+                    _push(_rollp(nh, off), _rollp(nidx, off),
+                          _rollp(nr, off), _rollp(ng_, off), _rollp(nb, off))
 
         # fold records straight into the CALLER's P pixel planes: group
         # g's contribution at lane i belongs to pixel i + g*shift, i.e.
@@ -890,14 +975,24 @@ def wavefront_trace_pallas3(
             counters = counters.at[slot_i].set(
                 _u64_add(counters[slot_i], totals[slot_i].astype(jnp.uint32))
             )
-        return dict(p=p, ss=ss, counters=counters,
-                    launches=s["launches"] + jnp.uint32(1))
+        out = dict(p=p, ss=ss, counters=counters,
+                   launches=s["launches"] + jnp.uint32(1))
+        if _DIAG:
+            diag = s["diag"]
+            for k in range(K_TEX):
+                occ_k = jnp.sum((tex_o[k] >= 0).astype(jnp.uint32))
+                diag = diag.at[0].add(occ_k)
+                diag = diag.at[1 + k].add((occ_k > 0).astype(jnp.uint32))
+            out["diag"] = diag
+        return out
 
     final = jax.lax.while_loop(cond, body, state)
     # (3*n_slots, R, 128) -> (n_slots, N, 3); already in the caller's
     # pixel mapping (group rolls happen per launch)
     sums = jnp.transpose(final["ss"].reshape(n_slots, 3, n), (0, 2, 1))
     if return_launches:
+        if _DIAG:
+            return sums, final["counters"], final["launches"], final["diag"]
         return sums, final["counters"], final["launches"]
     return sums, final["counters"]
 
