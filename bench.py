@@ -56,11 +56,12 @@ def main() -> int:
             _wavefront_pallas3_jit as _pallas_jit,
         )
         pallas_kwargs = dict(
-            n_bounce=int(os.environ.get("ZRAYTRACE_BENCH_B", "28")),
+            n_bounce=int(os.environ.get("ZRAYTRACE_BENCH_B", "160")),
+            r_blk=int(os.environ.get("ZRAYTRACE_BENCH_RBLK", "32")),
             exit_frac=(int(os.environ.get("ZRAYTRACE_BENCH_EXIT_NUM", "3")),
                        int(os.environ.get("ZRAYTRACE_BENCH_EXIT_DEN", "5"))),
             return_launches=True,
-            sample_groups=int(os.environ.get("ZRAYTRACE_BENCH_GROUPS", "8")),
+            sample_groups=int(os.environ.get("ZRAYTRACE_BENCH_GROUPS", "16")),
         )
 
 
@@ -116,6 +117,7 @@ def main() -> int:
                   and os.environ.get("ZRAYTRACE_BENCH_PALLAS", "1") == "1")
 
     n_launches = [0]
+    miss_planes = []
 
     def run(n_samples, sample_start=0):
         if use_pallas:
@@ -130,6 +132,7 @@ def main() -> int:
                 import numpy as _npd
 
                 n_launches.append(_npd.asarray(out[3], _npd.uint64))
+                miss_planes.append(_npd.asarray(out[4], _npd.int64))
         else:
             sums, counters = _wavefront_jit(
                 scene, camera, ids, 42, size, size, n_samples, depth,
@@ -178,6 +181,11 @@ def main() -> int:
         print(f"# diag: occupied_slots={int(dtot[0])} "
               f"slot_any_launches={[int(x) for x in dtot[1:]]}",
               file=sys.stderr)
+        if miss_planes:
+            mp = sum(miss_planes)
+            print(f"# diag: lane_misses max={int(mp.max())} "
+                  f"mean={float(mp.mean()):.1f} p99="
+                  f"{float(_npd.percentile(mp, 99)):.0f}", file=sys.stderr)
     print(
         f"# size={size} spp={spp} depth={depth} rays={rays} iters={iters} "
         f"launches={n_launches[0]} "

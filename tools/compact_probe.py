@@ -45,7 +45,9 @@ atlas = jax.random.uniform(key, (F, 3), jnp.float32)
 def chain(step):
     def run(ids, atlas):
         def body(c, _):
-            out = step(ids ^ (c[0] & 0), atlas)  # keep ids live
+            # carry-dependent indices so XLA cannot hoist the step out
+            # of the scan (c[0] stays 0 or 1, indices stay in range)
+            out = step(jnp.where(ids >= 0, ids + (c[0] & 1), ids), atlas)
             return (c[0] + 1, out.sum() + c[1]), None
         (cnt, acc), _ = jax.lax.scan(body, (jnp.int32(0), 0.0),
                                      None, length=REPS)

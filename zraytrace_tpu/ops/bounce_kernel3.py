@@ -159,7 +159,25 @@ VMEM_LIMIT = 100 * 1024 * 1024
 N_CACHE = int(_os.environ.get("ZRAYTRACE_K3_CACHE", "4"))
 K_TEX = int(_os.environ.get("ZRAYTRACE_K3_TEX", "4"))
 M_REC = int(_os.environ.get("ZRAYTRACE_K3_REC", "4"))
-N_STATE = 18 + 4 * N_CACHE
+# NEIGHBOR-SHARED cache entries (appended after the own-FIFO entries):
+# entry N_CACHE+j holds the newest resolve of the lane at flat offset
+# SHARE_OFFS[j]. Lanes ±1 trace ADJACENT PIXELS concurrently (same
+# stripe/group phase), and adjacent pixels' texel footprints overlap
+# heavily (the logo sphere spans ~12x12 pixels per texel), so a lane's
+# per-window FIRST TOUCH — the dominant miss class: ~64 windows per
+# pixel each pay their own first-touch misses — can hit the neighbor's
+# resolve instead of consuming a texel slot. Values are exact atlas
+# texels (bit-exact images up to multiply order, counters unchanged).
+# Assignment is direct (keep-last-known, no FIFO shift), so own FIFO
+# entries are never thrashed — the failure mode of the rolled-push
+# share (_SHARE above, PERF.md round 3).
+N_SHARE = int(_os.environ.get("ZRAYTRACE_K3_NSHARE", "0"))
+SHARE_OFFS = tuple(
+    int(x) for x in _os.environ.get(
+        "ZRAYTRACE_K3_SHARE_OFFS", "1,-1,2,-2,3,-3,4,-4")
+    .split(","))[:max(N_SHARE, 0)]
+N_CTOT = N_CACHE + N_SHARE
+N_STATE = 18 + 4 * N_CTOT
 N_LOCAL = 1 + K_TEX + 5 * M_REC
 
 
@@ -179,7 +197,7 @@ def make_bounce_kernel3(n_spheres: int, n_mats: int, shape,
     exit_num, exit_den = exit_frac
     # carry layout offsets (after the leading iteration counter)
     Q_CACHE = 1 + 18
-    Q_LOCAL = Q_CACHE + 4 * N_CACHE          # tmask
+    Q_LOCAL = Q_CACHE + 4 * N_CTOT          # tmask
     Q_TEX = Q_LOCAL + 1                      # K_TEX slot indices
     Q_REC = Q_TEX + K_TEX                    # M_REC x (r, g, b, slot, mask)
     Q_BLOCKED = Q_REC + 5 * M_REC
@@ -407,7 +425,7 @@ def make_bounce_kernel3(n_spheres: int, n_mats: int, shape,
             cvr = jnp.zeros(blk, jnp.float32)
             cvg = jnp.zeros(blk, jnp.float32)
             cvb = jnp.zeros(blk, jnp.float32)
-            for k in range(N_CACHE):
+            for k in range(N_CTOT):
                 ck, ckr, ckg, ckb = cache[4 * k:4 * k + 4]
                 hk = texneed & ~hitc & (texflat == ck)
                 cvr = jnp.where(hk, ckr, cvr)
@@ -650,7 +668,7 @@ def make_bounce_kernel3(n_spheres: int, n_mats: int, shape,
     # tmask i32 + texidx i32 x K_TEX + (rgb f32, slot i32, mask i32)
     # x M_REC; counters
     state_dts = ([st(f32)] * 12 + [st(i32)] * 6
-                 + [st(i32), st(f32), st(f32), st(f32)] * N_CACHE)
+                 + [st(i32), st(f32), st(f32), st(f32)] * N_CTOT)
     local_dts = ([st(i32)] + [st(i32)] * K_TEX
                  + [st(f32), st(f32), st(f32), st(i32), st(i32)] * M_REC)
     out_shape = tuple(
@@ -777,7 +795,7 @@ def wavefront_trace_pallas3(
     KEYS = ("ox", "oy", "oz", "dx", "dy", "dz", "tr", "tg", "tb",
             "ar", "ag", "ab", "dep", "samp", "slot", "pidx", "baseg",
             "swin") + tuple(
-        f"c{k}{f}" for k in range(N_CACHE) for f in ("idx", "r", "g", "b"))
+        f"c{k}{f}" for k in range(N_CTOT) for f in ("idx", "r", "g", "b"))
     base = pixel_base.reshape(shape)
     n_slots_t = n_slots * G
     state = dict(
@@ -794,7 +812,7 @@ def wavefront_trace_pallas3(
             swin=jnp.full(shape, sstart_i, jnp.int32),
             **{f"c{k}{f}": (jnp.full(shape, -1, jnp.int32) if f == "idx"
                             else jnp.zeros(shape))
-               for k in range(N_CACHE) for f in ("idx", "r", "g", "b")},
+               for k in range(N_CTOT) for f in ("idx", "r", "g", "b")},
         ),
         ss=jnp.zeros((3 * n_slots, R, LANE), jnp.float32),
         counters=jnp.zeros((N_COUNTERS, 2), jnp.uint32),
@@ -805,6 +823,10 @@ def wavefront_trace_pallas3(
         # actually needed); [1+k]: launches where slot k was occupied
         # anywhere (cond-gated gathers actually executed).
         state["diag"] = jnp.zeros((1 + K_TEX,), jnp.uint32)
+        # per-lane cache-miss totals: launch count is pinned by the
+        # heaviest lane's miss count / K_TEX — max/mean is the
+        # imbalance factor the stripe mapping could still recover.
+        state["misses"] = jnp.zeros(shape, jnp.int32)
     # The per-launch texel resolve is the wall (measured 65% of bench
     # wall at 11.8 ns/row for the naive 2D-indexed (F, 3) f32 gather).
     # Pack RGB into ONE int32 row (atlas texels are exactly u8/255 —
@@ -889,12 +911,8 @@ def wavefront_trace_pallas3(
             p["c0g"] = jnp.where(has, tex_rgb[k, ..., 1], p["c0g"])
             p["c0b"] = jnp.where(has, tex_rgb[k, ..., 2], p["c0b"])
 
-        # cross-group cache share (_SHARE docstring at top): roll each
-        # lane's NEWEST resolved (idx, rgb) across the G-1 group
-        # offsets and push it — dedup-checked so repeated footprint
-        # texels don't thrash the FIFO — into the lanes that trace the
-        # same pixel's other sample windows.
-        if _SHARE and G > 1:
+        # newest-resolve planes feed both share mechanisms below
+        if (_SHARE and G > 1) or N_SHARE > 0:
             nh = jnp.zeros(shape, jnp.bool_)
             nidx = jnp.full(shape, -1, jnp.int32)
             nr = jnp.zeros(shape, jnp.float32)
@@ -907,6 +925,29 @@ def wavefront_trace_pallas3(
                 nr = jnp.where(hk, tex_rgb[k, ..., 0], nr)
                 ng_ = jnp.where(hk, tex_rgb[k, ..., 1], ng_)
                 nb = jnp.where(hk, tex_rgb[k, ..., 2], nb)
+
+            def _rollg(x, off):
+                return jnp.roll(x.reshape(-1), off).reshape(shape)
+
+        # neighbor-shared entries (N_SHARE docstring at top): entry
+        # N_CACHE+j keeps the last-known newest resolve of the lane at
+        # flat offset SHARE_OFFS[j] — direct assignment, own FIFO
+        # untouched.
+        for j, doff in enumerate(SHARE_OFFS):
+            rh = _rollg(nh, doff)
+            key = f"c{N_CACHE + j}"
+            p[key + "idx"] = jnp.where(rh, _rollg(nidx, doff),
+                                       p[key + "idx"])
+            p[key + "r"] = jnp.where(rh, _rollg(nr, doff), p[key + "r"])
+            p[key + "g"] = jnp.where(rh, _rollg(ng_, doff), p[key + "g"])
+            p[key + "b"] = jnp.where(rh, _rollg(nb, doff), p[key + "b"])
+
+        # cross-group cache share (_SHARE docstring at top): roll each
+        # lane's NEWEST resolved (idx, rgb) across the G-1 group
+        # offsets and push it — dedup-checked so repeated footprint
+        # texels don't thrash the FIFO — into the lanes that trace the
+        # same pixel's other sample windows.
+        if _SHARE and G > 1:
             share_shift = n // G
 
             def _push(has, idx, vr, vg, vb):
@@ -979,11 +1020,14 @@ def wavefront_trace_pallas3(
                    launches=s["launches"] + jnp.uint32(1))
         if _DIAG:
             diag = s["diag"]
+            miss = s["misses"]
             for k in range(K_TEX):
                 occ_k = jnp.sum((tex_o[k] >= 0).astype(jnp.uint32))
                 diag = diag.at[0].add(occ_k)
                 diag = diag.at[1 + k].add((occ_k > 0).astype(jnp.uint32))
+                miss = miss + (tex_o[k] >= 0).astype(jnp.int32)
             out["diag"] = diag
+            out["misses"] = miss
         return out
 
     final = jax.lax.while_loop(cond, body, state)
@@ -992,7 +1036,8 @@ def wavefront_trace_pallas3(
     sums = jnp.transpose(final["ss"].reshape(n_slots, 3, n), (0, 2, 1))
     if return_launches:
         if _DIAG:
-            return sums, final["counters"], final["launches"], final["diag"]
+            return (sums, final["counters"], final["launches"],
+                    final["diag"], final["misses"])
         return sums, final["counters"], final["launches"]
     return sums, final["counters"]
 
