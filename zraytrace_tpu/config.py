@@ -45,14 +45,17 @@ class RenderParams:
     # launches exit early when deferred-texel blocks pile up, so this is
     # a cap; larger amortizes the per-launch texture gather further
     # (PERF.md rounds 2-3).
-    # 28 with the exit_frac=3/5 threshold won the 4-entry-cache +
-    # mat-classes sweep (613.6M rays/s; PERF.md round 3).
-    pallas_bounces: int = 28
+    # 160 with exit_frac=3/5, r_blk=32 and sample_groups=16 won the
+    # round-3 sweep (686.4M rays/s; PERF.md round 3 continuation).
+    pallas_bounces: int = 160
+    # Megakernel grid-block rows: 32-row blocks let each block's
+    # while_loop exit adaptively (PERF.md round-3 continuation).
+    pallas_r_blk: int = 32
     # Sample-interleave factor for the megakernel: each pixel's spp is
     # split into this many windows traced by different lanes, cutting
     # the per-lane texel-event maximum that pins the launch count
     # (PERF.md round 3). Clamped to spp at trace time.
-    pallas_sample_groups: int = 8
+    pallas_sample_groups: int = 16
     # Sample-interleave for the XLA wavefront (mesh scenes): same
     # rotated-base schedule, implemented in the XLA loop. Spreads heavy
     # pixels' samples over G lanes, cutting lockstep occupancy waste

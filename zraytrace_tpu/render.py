@@ -568,6 +568,7 @@ def render(scene: Scene, camera: cam.Camera, params: RenderParams):
             scene, camera, base, params.seed, w, h, spp, params.max_depth,
             0, n_slots, n_lanes, n_pixels,
             n_bounce=params.pallas_bounces,
+            r_blk=params.pallas_r_blk,
             sample_groups=max(1, min(params.pallas_sample_groups, spp)),
             mat_classes=material_classes(scene),
         )
