@@ -80,6 +80,16 @@ _XLA_WL = _os.environ.get("ZRAYTRACE_FLASH_XLA_WL", "1") == "1"
 # timing probe (bench only): force every work list empty to measure the
 # non-intersection share of the wall; hits vanish, images go wrong
 _NOWORK = _os.environ.get("ZRAYTRACE_FLASH_NOWORK", "0") == "1"
+# more bench-only ablations (image wrong, timing decomposition only):
+# _SKIP returns the seeded winner without prepass or kernel (isolates
+# the XLA wavefront body); _NOPRE feeds a full dense work list without
+# computing reachability (isolates the prepass cost).
+_SKIP = _os.environ.get("ZRAYTRACE_FLASH_SKIP", "0") == "1"
+_NOPRE = _os.environ.get("ZRAYTRACE_FLASH_NOPRE", "0") == "1"
+# _SKIPK keeps the prepass AND produces data-dependent fake winners (so
+# the caller's attribute/merge path stays live) but never invokes the
+# pallas kernel — isolates the kernel's in-context cost.
+_SKIPK = _os.environ.get("ZRAYTRACE_FLASH_SKIPK", "0") in ("1", "2")
 
 # packed triangle component planes, each (n_chunks, 128):
 # e1(3) e2(3) fn(3) e2xa(3) e1xa(3) a_dot_fn(1) valid(1) orig_id(1)
@@ -199,6 +209,9 @@ def _ray_chunk_worklists(bounds, o, d, ti, t_min, n_blocks):
     # test degenerates to "origin inside slab" — conservative (see near
     # <= far with +-huge candidates), never excludes a reachable chunk.
     safe_d = jnp.where(jnp.abs(d) < 1e-30, 1e-30, d)
+    # NOTE: a per-axis (n, C)-plane accumulation variant was A/B'd and
+    # measured SLOWER on hardware (70.2s vs 68.9s teapot) — XLA fuses
+    # this (n, C, 3) form better. Keep it.
     inv = (1.0 / safe_d)[:, None, :]
     t1 = (lo - o[:, None, :]) * inv  # (n, C, 3)
     t2 = (hi - o[:, None, :]) * inv
@@ -428,16 +441,40 @@ def flash_intersect_triangles(planes: TriPlanes, o, d, t_min, t_init=None):
     n_chunks = planes.planes.shape[1]
     need_uv = planes.attrs is None
 
+    if _SKIP:  # timing ablation: XLA body alone
+        return (ti[:, 0], jnp.zeros((n,), jnp.int32),
+                jnp.zeros((n,), jnp.bool_), jnp.zeros((n, 2), jnp.float32))
     if _XLA_WL:
         # exact per-ray chunk reachability computed in XLA, OR-reduced
         # per block and fed in as an SMEM work list (one (1, C) row per
         # grid block) — see _ray_chunk_worklists
-        wl, nw = _ray_chunk_worklists(planes.bounds, o, d, ti[:, 0],
-                                      t_min, n_blocks)
+        if _NOPRE:  # timing ablation: dense lists, no reachability pass
+            wl = jnp.broadcast_to(
+                jnp.arange(n_chunks, dtype=jnp.int32)[None],
+                (n_blocks, n_chunks)) + (ti[:n_blocks, :1] * 0).astype(
+                    jnp.int32)
+            nw = jnp.zeros((n_blocks, 1), jnp.int32)
+        else:
+            wl, nw = _ray_chunk_worklists(planes.bounds, o, d, ti[:, 0],
+                                          t_min, n_blocks)
         # 3D with a singleton middle dim: Mosaic requires the last two
         # block dims to equal the array dims for SMEM inputs
         wl = wl[:, None, :]
         nw = nw[:, :, None]
+
+        if _SKIPK:  # timing ablation: prepass + post-path, no kernel
+            npool = (planes.attrs.shape[0] if planes.attrs is not None
+                     else max(planes.planes.shape[1] * LANE, 1))
+            # mode "2": triangles never win (t == t_init) — identical
+            # path dynamics to the NOWORK run, so per-iteration costs
+            # subtract cleanly. mode "1": triangles always win.
+            fac = (1.0 if _os.environ.get("ZRAYTRACE_FLASH_SKIPK") == "2"
+                   else 0.99999)
+            t = ti[:, 0] * fac + nw.sum().astype(jnp.float32) * 0.0
+            idx = jax.lax.iota(jnp.int32, n) % jnp.int32(npool)
+            hit = t < ti[:, 0]
+            z3 = jnp.full((n,), 0.3, jnp.float32)
+            return t, idx, hit, jnp.stack([z3, z3], axis=-1)
 
         def kern(*refs):
             return _kernel(*refs, need_uv=need_uv, xla_wl=True)
@@ -463,7 +500,10 @@ def flash_intersect_triangles(planes: TriPlanes, o, d, t_min, t_init=None):
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((n, 8), jnp.float32),
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024
+                vmem_limit_bytes=100 * 1024 * 1024,
+                # ray blocks are independent: a parallel grid lets
+                # Mosaic pipeline block DMA against compute
+                dimension_semantics=("parallel",),
             ),
             interpret=jax.default_backend() == "cpu",
         )(planes.planes, o, d, ti, tmin_arr, wl, nw)

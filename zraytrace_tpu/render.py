@@ -437,6 +437,10 @@ def wavefront_trace(
         # to its next pixel.
         sample_idx = s["sample_idx"] + path_done.astype(jnp.int32)
         pixel_finished = path_done & (sample_idx >= we_cur)
+        # NOTE: a single stacked where-add over all slot planes was
+        # A/B'd against this per-k DUS chain and measured SLOWER on
+        # hardware (71.4s vs 68.9s teapot) — XLA already fuses the DUS
+        # chain in place. Keep the loop.
         slot_sums = s["slot_sums"]
         for k in range(n_slots_t):
             commit_k = (pixel_finished & (s["slot"] == k))[:, None]
