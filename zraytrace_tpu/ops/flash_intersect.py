@@ -90,6 +90,16 @@ _NOPRE = _os.environ.get("ZRAYTRACE_FLASH_NOPRE", "0") == "1"
 # the caller's attribute/merge path stays live) but never invokes the
 # pallas kernel — isolates the kernel's in-context cost.
 _SKIPK = _os.environ.get("ZRAYTRACE_FLASH_SKIPK", "0") in ("1", "2")
+# RAYS-ON-LANES kernel variant (DEFAULT; round 3): profiling showed the
+# XLA graph around the custom call costs ~8 ms/iteration vs ~1.5 ms for
+# the same logical ops without it — the call's narrow (n, 3)/(n, 8)
+# operands pin padded minor-dim-3/8 layouts on the surrounding fusions
+# (2-6% lane utilization). The RL kernel swaps the axes: rays on LANES
+# (operands are dense (n/128, 1, 128) component planes), triangle
+# chunks on SUBLANES (planes repacked per chunk as (128, 1) columns),
+# output a dense (n/128, 8, 128) block — no narrow tensor crosses the
+# boundary. Teapot official: 5.98M -> 10.10M rays/s (856x reference).
+_RL = _os.environ.get("ZRAYTRACE_FLASH_RL", "1") == "1"
 
 # packed triangle component planes, each (n_chunks, 128):
 # e1(3) e2(3) fn(3) e2xa(3) e1xa(3) a_dot_fn(1) valid(1) orig_id(1)
@@ -100,6 +110,10 @@ class TriPlanes(NamedTuple):
     planes: jnp.ndarray  # (N_COMP, n_chunks, 128) f32
     bounds: jnp.ndarray  # (n_chunks, 8) f32 chunk AABB [lo3, hi3, 0, 0]
     n_tris: int
+    # rays-on-lanes repack (present only when ZRAYTRACE_FLASH_RL=1):
+    # (n_chunks, N_COMP, 128, 1) — chunk ci, component k as a (128, 1)
+    # sublane column (triangles on sublanes).
+    planes_rl: jnp.ndarray = None
     # Optional (n_chunks*128, 4) [unit_fn xyz, mat_id] table indexed by
     # PACKED SORTED id (chunk*128 + lane). Present only for
     # const-material meshes (no textured triangle materials — true for
@@ -181,7 +195,12 @@ def pack_tri_planes(a, b, c, order=None, tri_mat=None,
             tm = tm[order]
         tm = jnp.concatenate([tm, jnp.zeros((pad,), jnp.float32)])
         attrs = jnp.concatenate([fn_unit, tm[:, None]], axis=1)
-    return TriPlanes(planes=planes, bounds=bounds, n_tris=T, attrs=attrs)
+    planes_rl = None
+    if _RL:
+        # (N_COMP, C, 128) -> (C, N_COMP, 128, 1) sublane columns
+        planes_rl = jnp.transpose(planes, (1, 0, 2))[..., None]
+    return TriPlanes(planes=planes, bounds=bounds, n_tris=T,
+                     planes_rl=planes_rl, attrs=attrs)
 
 
 def _ray_chunk_worklists(bounds, o, d, ti, t_min, n_blocks):
@@ -415,6 +434,152 @@ def _winner_scan(planes_ref, o_ref, d_ref, read_wl, n_work, t_min,
     )
 
 
+def _kernel_rl(planes_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
+               dz_ref, ti_ref, tmin_ref, wl_in, nw_ref, out_ref,
+               need_uv=True):
+    """Rays-on-lanes winner scan (see _RL): one grid block = 128 rays
+    as a dense (1, 128) lane row; triangle chunks stream as (128, 1)
+    sublane columns; the winner state is (128 tri-slots, 128 rays) and
+    the final reduction runs over SUBLANES. Same arithmetic as
+    _winner_scan — values bit-identical, only bit-equal-t ties between
+    DISTINCT triangles can resolve differently (sublane-first)."""
+    t_min = tmin_ref[0]
+    n_work = nw_ref[0, 0, 0]
+    row = lambda r: r[0, 0, :][None, :]  # (1, 128) rays on lanes
+    ox, oy, oz = row(ox_ref), row(oy_ref), row(oz_ref)
+    dx, dy, dz = row(dx_ref), row(dy_ref), row(dz_ref)
+    ti = row(ti_ref)
+    pxv = oy * dz - oz * dy
+    pyv = oz * dx - ox * dz
+    pzv = ox * dy - oy * dx
+
+    shape = (LANE, LANE)  # (tri sublane, ray lane)
+    tb0 = jnp.zeros(shape, jnp.float32) + ti
+
+    def work_body(carry):
+        if need_uv:
+            i, tb, ub, vb, ob = carry
+        else:
+            i, tb, cb = carry
+        ci = wl_in[0, 0, i]
+        pr = lambda k: planes_ref[ci, k]  # (128, 1) sublane column
+        e1x, e1y, e1z = pr(0), pr(1), pr(2)
+        e2x, e2y, e2z = pr(3), pr(4), pr(5)
+        fnx, fny, fnz = pr(6), pr(7), pr(8)
+        qax, qay, qaz = pr(9), pr(10), pr(11)
+        rax, ray_, raz = pr(12), pr(13), pr(14)
+        adf = pr(15)
+
+        det = -(dx * fnx + dy * fny + dz * fnz)
+        safe = jnp.abs(det) > 1e-12
+        inv_det = 1.0 / jnp.where(safe, det, 1.0)
+        u = (pxv * e2x + pyv * e2y + pzv * e2z
+             - (dx * qax + dy * qay + dz * qaz)) * inv_det
+        v = -(pxv * e1x + pyv * e1y + pzv * e1z
+              - (dx * rax + dy * ray_ + dz * raz)) * inv_det
+        t = (ox * fnx + oy * fny + oz * fnz - adf) * inv_det
+        better = ((det >= DET_EPS) & (t > t_min)
+                  & (u >= 0.0) & (v >= 0.0)
+                  & (u + v <= 1.0) & (t < tb))
+        tb = jnp.where(better, t, tb)
+        if need_uv:
+            ub = jnp.where(better, u, ub)
+            vb = jnp.where(better, v, vb)
+            ob = jnp.where(better, jnp.zeros(shape) + pr(17), ob)
+            return i + 1, tb, ub, vb, ob
+        cb = jnp.where(better, ci, cb)
+        return i + 1, tb, cb
+
+    fzs = lambda: jnp.zeros(shape, jnp.float32)
+    if need_uv:
+        init = (jnp.int32(0), tb0, fzs(), fzs(), fzs())
+        _, tb, ub, vb, ob = jax.lax.while_loop(
+            lambda c: c[0] < n_work, work_body, init)
+        cb = None
+    else:
+        init = (jnp.int32(0), tb0, jnp.zeros(shape, jnp.int32))
+        _, tb, cb = jax.lax.while_loop(
+            lambda c: c[0] < n_work, work_body, init)
+
+    # one cross-SUBLANE reduction pass per block
+    t_best = jnp.min(tb, axis=0, keepdims=True)  # (1, 128)
+    sub_ids = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    sel = tb == t_best
+    if need_uv:
+        sub_of_min = jnp.min(
+            jnp.where(sel, sub_ids, jnp.int32(LANE)), axis=0,
+            keepdims=True)
+        sel2 = sub_ids == sub_of_min
+        pick = lambda x: jnp.sum(jnp.where(sel2, x, 0.0), axis=0,
+                                 keepdims=True)
+        u_best = pick(ub)
+        v_best = pick(vb)
+        i_best = pick(ob)
+    else:
+        idc = cb * LANE + sub_ids
+        i_best = jnp.min(
+            jnp.where(sel, idc, jnp.int32(0x7FFFFFFF)), axis=0,
+            keepdims=True).astype(jnp.float32)
+        u_best = jnp.zeros((1, LANE), jnp.float32)
+        v_best = jnp.zeros((1, LANE), jnp.float32)
+    hit = (t_best < ti).astype(jnp.float32)
+    zr = jnp.zeros((1, LANE), jnp.float32)
+    out_ref[0] = jnp.concatenate(
+        [t_best, u_best, v_best, i_best, hit, zr, zr, zr], axis=0)
+
+
+def _flash_rl(planes: TriPlanes, o, d, t_min, ti):
+    """Rays-on-lanes dispatch: dense (n/128, 128) boundary tensors."""
+    n = o.shape[0]
+    assert n % LANE == 0, n
+    n_blocks = n // LANE
+    n_chunks = planes.planes.shape[1]
+    need_uv = planes.attrs is None
+    tmin_arr = jnp.full((1,), t_min, jnp.float32)
+    wl, nw = _ray_chunk_worklists(planes.bounds, o, d, ti, t_min, n_blocks)
+    wl = wl[:, None, :]
+    nw = nw[:, :, None]
+    dense = lambda x: x.reshape(n_blocks, 1, LANE)
+    args = [planes.planes_rl,
+            dense(o[:, 0]), dense(o[:, 1]), dense(o[:, 2]),
+            dense(d[:, 0]), dense(d[:, 1]), dense(d[:, 2]),
+            dense(ti), tmin_arr, wl, nw]
+
+    def kern(*refs):
+        return _kernel_rl(*refs, need_uv=need_uv)
+
+    row_spec = pl.BlockSpec((1, 1, LANE), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kern,
+        grid=(n_blocks,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]
+        + [row_spec] * 7
+        + [
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, n_chunks), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 8, LANE), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_blocks, 8, LANE), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("parallel",),
+        ),
+        interpret=jax.default_backend() == "cpu",
+    )(*args)
+
+    flat = lambda k: out[:, k, :].reshape(n)
+    t = flat(0)
+    uv = jnp.stack([flat(1), flat(2)], axis=-1)
+    idx = flat(3).astype(jnp.int32)
+    hit = flat(4) > 0.5
+    return t, idx, hit, uv
+
+
 def flash_intersect_triangles(planes: TriPlanes, o, d, t_min, t_init=None):
     """Closest triangle per ray; same contract as intersect_triangles:
     returns (t (N,), idx (N,) i32, hit (N,) bool, uv (N,2)).
@@ -444,6 +609,8 @@ def flash_intersect_triangles(planes: TriPlanes, o, d, t_min, t_init=None):
     if _SKIP:  # timing ablation: XLA body alone
         return (ti[:, 0], jnp.zeros((n,), jnp.int32),
                 jnp.zeros((n,), jnp.bool_), jnp.zeros((n, 2), jnp.float32))
+    if _RL and planes.planes_rl is not None and not _SKIPK:
+        return _flash_rl(planes, o, d, t_min, ti[:, 0])
     if _XLA_WL:
         # exact per-ray chunk reachability computed in XLA, OR-reduced
         # per block and fed in as an SMEM work list (one (1, C) row per
