@@ -138,7 +138,7 @@ def main() -> int:
                 scene, camera, ids, 42, size, size, n_samples, depth,
                 sample_start, tri_bvh, n_lanes, n_pixels, n_slots, tri_flash,
                 tile_coherent,
-                int(os.environ.get("ZRAYTRACE_BENCH_XGROUPS", "2")),
+                int(os.environ.get("ZRAYTRACE_BENCH_XGROUPS", "1")),
             )
         jax.block_until_ready(counters)
         # force a real sync through the relay (block_until_ready on its

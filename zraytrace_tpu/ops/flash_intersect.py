@@ -100,6 +100,8 @@ _SKIPK = _os.environ.get("ZRAYTRACE_FLASH_SKIPK", "0") in ("1", "2")
 # output a dense (n/128, 8, 128) block — no narrow tensor crosses the
 # boundary. Teapot official: 5.98M -> 10.10M rays/s (856x reference).
 _RL = _os.environ.get("ZRAYTRACE_FLASH_RL", "1") == "1"
+# max chunks for the padded-column RL packing (1.18 MB VMEM per chunk)
+_RL_COL_MAX_CHUNKS = int(_os.environ.get("ZRAYTRACE_FLASH_RL_COLS", "72"))
 
 # packed triangle component planes, each (n_chunks, 128):
 # e1(3) e2(3) fn(3) e2xa(3) e1xa(3) a_dot_fn(1) valid(1) orig_id(1)
@@ -110,9 +112,9 @@ class TriPlanes(NamedTuple):
     planes: jnp.ndarray  # (N_COMP, n_chunks, 128) f32
     bounds: jnp.ndarray  # (n_chunks, 8) f32 chunk AABB [lo3, hi3, 0, 0]
     n_tris: int
-    # rays-on-lanes repack (present only when ZRAYTRACE_FLASH_RL=1):
-    # (n_chunks, N_COMP, 128, 1) — chunk ci, component k as a (128, 1)
-    # sublane column (triangles on sublanes).
+    # rays-on-lanes marker (non-None only when ZRAYTRACE_FLASH_RL=1 at
+    # pack time): the RL kernel reads ``planes`` directly with one
+    # in-kernel (18, 128) -> (128, 18) transpose per chunk.
     planes_rl: jnp.ndarray = None
     # Optional (n_chunks*128, 4) [unit_fn xyz, mat_id] table indexed by
     # PACKED SORTED id (chunk*128 + lane). Present only for
@@ -195,10 +197,18 @@ def pack_tri_planes(a, b, c, order=None, tri_mat=None,
             tm = tm[order]
         tm = jnp.concatenate([tm, jnp.zeros((pad,), jnp.float32)])
         attrs = jnp.concatenate([fn_unit, tm[:, None]], axis=1)
+    # RL packing: per-chunk (128, 1) sublane columns are the fastest
+    # in-kernel read but each column pads to a full lane tile in VMEM
+    # (1.18 MB/chunk) — use them while they fit the VMEM budget, else
+    # fall back to a 1-element marker: the kernel then reads ``planes``
+    # with one (18, 128) -> (128, 18) transpose per chunk (measured
+    # ~35% slower on teapot, but scales to goat-size meshes).
     planes_rl = None
     if _RL:
-        # (N_COMP, C, 128) -> (C, N_COMP, 128, 1) sublane columns
-        planes_rl = jnp.transpose(planes, (1, 0, 2))[..., None]
+        if n_chunks <= _RL_COL_MAX_CHUNKS:
+            planes_rl = jnp.transpose(planes, (1, 0, 2))[..., None]
+        else:
+            planes_rl = jnp.zeros((1,), jnp.float32)
     return TriPlanes(planes=planes, bounds=bounds, n_tris=T,
                      planes_rl=planes_rl, attrs=attrs)
 
@@ -436,7 +446,7 @@ def _winner_scan(planes_ref, o_ref, d_ref, read_wl, n_work, t_min,
 
 def _kernel_rl(planes_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
                dz_ref, ti_ref, tmin_ref, wl_in, nw_ref, out_ref,
-               need_uv=True):
+               need_uv=True, use_cols=False):
     """Rays-on-lanes winner scan (see _RL): one grid block = 128 rays
     as a dense (1, 128) lane row; triangle chunks stream as (128, 1)
     sublane columns; the winner state is (128 tri-slots, 128 rays) and
@@ -462,7 +472,13 @@ def _kernel_rl(planes_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
         else:
             i, tb, cb = carry
         ci = wl_in[0, 0, i]
-        pr = lambda k: planes_ref[ci, k]  # (128, 1) sublane column
+        if use_cols:
+            pr = lambda k: planes_ref[ci, k]  # (128, 1) column
+        else:
+            # one (18, 128) -> (128, 18) transpose per chunk (the
+            # padded-column layout would need 1.18 MB VMEM per chunk)
+            blk_t = planes_ref[:, ci, :].T  # (128, 18)
+            pr = lambda k: blk_t[:, k:k + 1]
         e1x, e1y, e1z = pr(0), pr(1), pr(2)
         e2x, e2y, e2z = pr(3), pr(4), pr(5)
         fnx, fny, fnz = pr(6), pr(7), pr(8)
@@ -539,14 +555,15 @@ def _flash_rl(planes: TriPlanes, o, d, t_min, ti):
     wl, nw = _ray_chunk_worklists(planes.bounds, o, d, ti, t_min, n_blocks)
     wl = wl[:, None, :]
     nw = nw[:, :, None]
+    use_cols = planes.planes_rl.ndim == 4
     dense = lambda x: x.reshape(n_blocks, 1, LANE)
-    args = [planes.planes_rl,
+    args = [planes.planes_rl if use_cols else planes.planes,
             dense(o[:, 0]), dense(o[:, 1]), dense(o[:, 2]),
             dense(d[:, 0]), dense(d[:, 1]), dense(d[:, 2]),
             dense(ti), tmin_arr, wl, nw]
 
     def kern(*refs):
-        return _kernel_rl(*refs, need_uv=need_uv)
+        return _kernel_rl(*refs, need_uv=need_uv, use_cols=use_cols)
 
     row_spec = pl.BlockSpec((1, 1, LANE), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
