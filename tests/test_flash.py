@@ -264,3 +264,54 @@ print("LEGACY-OK")
                          capture_output=True, text=True, timeout=600)
     assert out.returncode == 0, out.stderr[-2000:]
     assert "LEGACY-OK" in out.stdout
+
+
+def test_dense_fallback_kernel_subprocess():
+    """Meshes whose chunk count exceeds the RL row-packing VMEM budget
+    (ZRAYTRACE_FLASH_RL_ROWS) fall back to the in-kernel transpose read
+    of the dense planes — must stay equivalent to the brute path.
+    Env-derived module constants need a fresh process."""
+    import os
+    import subprocess
+    import sys
+
+    code = """
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+import jax.numpy as jnp
+from zraytrace_tpu import vecmath as vm
+from zraytrace_tpu.geometry.triangle import intersect_triangles
+from zraytrace_tpu.ops.flash_intersect import (
+    R_RAYS, flash_intersect_triangles, pack_tri_planes, _RL,
+    _RL_ROWS_MAX_CHUNKS)
+assert _RL and _RL_ROWS_MAX_CHUNKS == 1
+rng = np.random.default_rng(11)
+n_tris = 300  # 3 chunks > budget of 1 -> dense fallback
+base = rng.normal(size=(n_tris, 3)) * 5
+f = lambda: jnp.asarray(base + rng.normal(size=(n_tris, 3)) * 0.4,
+                        jnp.float32)
+a, b, c = f(), f(), f()
+n = R_RAYS
+o = jnp.asarray(rng.normal(size=(n, 3)) * 12, jnp.float32)
+cent = (a + b + c) / 3.0
+tgt = cent[jnp.asarray(rng.integers(0, n_tris, n))]
+d = vm.normalize(tgt - o)
+planes = pack_tri_planes(a, b, c)
+assert planes.planes_rl is not None and planes.planes_rl.ndim == 1
+t1, i1, h1, uv1 = intersect_triangles(o, d, a, b, c, 1e-3, 1e30)
+t2, i2, h2, uv2 = flash_intersect_triangles(planes, o, d, 1e-3)
+np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
+hit = np.asarray(h1)
+assert hit.sum() > 0
+np.testing.assert_allclose(np.asarray(t1)[hit], np.asarray(t2)[hit],
+                           rtol=1e-3)
+np.testing.assert_array_equal(np.asarray(i1)[hit], np.asarray(i2)[hit])
+print("DENSE-OK")
+"""
+    env = dict(os.environ, ZRAYTRACE_FLASH_RL="1",
+               ZRAYTRACE_FLASH_RL_ROWS="1")
+    out = subprocess.run([sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True, timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "DENSE-OK" in out.stdout

@@ -100,8 +100,9 @@ _SKIPK = _os.environ.get("ZRAYTRACE_FLASH_SKIPK", "0") in ("1", "2")
 # output a dense (n/128, 8, 128) block — no narrow tensor crosses the
 # boundary. Teapot official: 5.98M -> 10.10M rays/s (856x reference).
 _RL = _os.environ.get("ZRAYTRACE_FLASH_RL", "1") == "1"
-# max chunks for the padded-column RL packing (1.18 MB VMEM per chunk)
-_RL_COL_MAX_CHUNKS = int(_os.environ.get("ZRAYTRACE_FLASH_RL_COLS", "72"))
+# max chunks for the (C, 128, N_COMP) RL row packing (~66 KB VMEM per
+# chunk after lane padding)
+_RL_ROWS_MAX_CHUNKS = int(_os.environ.get("ZRAYTRACE_FLASH_RL_ROWS", "1400"))
 
 # packed triangle component planes, each (n_chunks, 128):
 # e1(3) e2(3) fn(3) e2xa(3) e1xa(3) a_dot_fn(1) valid(1) orig_id(1)
@@ -197,16 +198,17 @@ def pack_tri_planes(a, b, c, order=None, tri_mat=None,
             tm = tm[order]
         tm = jnp.concatenate([tm, jnp.zeros((pad,), jnp.float32)])
         attrs = jnp.concatenate([fn_unit, tm[:, None]], axis=1)
-    # RL packing: per-chunk (128, 1) sublane columns are the fastest
-    # in-kernel read but each column pads to a full lane tile in VMEM
-    # (1.18 MB/chunk) — use them while they fit the VMEM budget, else
-    # fall back to a 1-element marker: the kernel then reads ``planes``
-    # with one (18, 128) -> (128, 18) transpose per chunk (measured
-    # ~35% slower on teapot, but scales to goat-size meshes).
+    # RL packing: (C, 128, N_COMP) rows — chunk ci reads as a direct
+    # (128, N_COMP) block, components as (128, 1) column slices, no
+    # in-kernel transpose. The lane dim pads N_COMP->128 in VMEM
+    # (~66 KB/chunk), fitting ~1500 chunks (~190k triangles) in the
+    # 100 MB budget; beyond that a 1-element marker makes the kernel
+    # read the dense (N_COMP, C, 128) planes with one (18,128)->(128,18)
+    # transpose per chunk visit.
     planes_rl = None
     if _RL:
-        if n_chunks <= _RL_COL_MAX_CHUNKS:
-            planes_rl = jnp.transpose(planes, (1, 0, 2))[..., None]
+        if n_chunks <= _RL_ROWS_MAX_CHUNKS:
+            planes_rl = jnp.transpose(planes, (1, 2, 0))
         else:
             planes_rl = jnp.zeros((1,), jnp.float32)
     return TriPlanes(planes=planes, bounds=bounds, n_tris=T,
@@ -473,12 +475,11 @@ def _kernel_rl(planes_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
             i, tb, cb = carry
         ci = wl_in[0, 0, i]
         if use_cols:
-            pr = lambda k: planes_ref[ci, k]  # (128, 1) column
+            blk_t = planes_ref[ci]  # (128, N_COMP) row block
         else:
-            # one (18, 128) -> (128, 18) transpose per chunk (the
-            # padded-column layout would need 1.18 MB VMEM per chunk)
+            # giant meshes: dense planes + one transpose per visit
             blk_t = planes_ref[:, ci, :].T  # (128, 18)
-            pr = lambda k: blk_t[:, k:k + 1]
+        pr = lambda k: blk_t[:, k:k + 1]
         e1x, e1y, e1z = pr(0), pr(1), pr(2)
         e2x, e2y, e2z = pr(3), pr(4), pr(5)
         fnx, fny, fnz = pr(6), pr(7), pr(8)
@@ -555,7 +556,7 @@ def _flash_rl(planes: TriPlanes, o, d, t_min, ti):
     wl, nw = _ray_chunk_worklists(planes.bounds, o, d, ti, t_min, n_blocks)
     wl = wl[:, None, :]
     nw = nw[:, :, None]
-    use_cols = planes.planes_rl.ndim == 4
+    use_cols = planes.planes_rl.ndim == 3
     dense = lambda x: x.reshape(n_blocks, 1, LANE)
     args = [planes.planes_rl if use_cols else planes.planes,
             dense(o[:, 0]), dense(o[:, 1]), dense(o[:, 2]),
