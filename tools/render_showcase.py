@@ -71,29 +71,43 @@ def render_scene(scene_idx, outdir, spp=None, size=None, depth=None,
         n_slots = -(-n_pix // n_lanes)
     base = jnp.arange(n_lanes, dtype=jnp.int32)
 
-    t0 = time.time()
     total = np.zeros((n_slots, n_lanes, 3), np.float64)
     counters = np.zeros((6, 2), np.uint64)
     done = 0
-    while done < spp:
-        step = min(chunk_spp, spp - done)
+    def call(step, start):
         if use_pallas:
-            from zraytrace_tpu.ops.bounce_kernel2 import (
-                _wavefront_pallas2_jit,
+            from zraytrace_tpu.ops.bounce_kernel3 import (
+                _wavefront_pallas3_jit,
             )
+            from zraytrace_tpu.scene import material_classes
 
-            sums, cnts = _wavefront_pallas2_jit(
+            # return_launches=True matches bench.py's traced program so the
+            # persistent compile cache is shared between the two tools.
+            sums, cnts = _wavefront_pallas3_jit(
                 built.scene, built.camera, base, 42, size, size, step,
-                depth, done, n_slots, n_lanes, n_pix,
-            )
+                depth, start, n_slots, n_lanes, n_pix,
+                n_bounce=160, r_blk=32, exit_frac=(3, 5),
+                return_launches=True,
+                sample_groups=max(1, min(16, chunk_spp)),
+                mat_classes=material_classes(built.scene),
+            )[:2]
         else:
             sums, cnts = _wavefront_jit(
                 built.scene, built.camera, base, 42, size, size, step,
-                depth, done, None, n_lanes, n_pix, n_slots, tri_flash,
+                depth, start, None, n_lanes, n_pix, n_slots, tri_flash,
                 tile,
             )
         jax.block_until_ready(cnts)
         _ = float(jnp.sum(cnts[0]).astype(jnp.float32))
+        return sums, cnts
+
+    # Warm-up at an out-of-range sample index: compiles / loads the
+    # cached program so the timed loop measures render speed only.
+    call(1, spp)
+    t0 = time.time()
+    while done < spp:
+        step = min(chunk_spp, spp - done)
+        sums, cnts = call(step, done)
         total += np.asarray(sums, np.float64)
         counters += np.asarray(cnts, np.uint64)
         done += step
