@@ -133,3 +133,44 @@ def test_camera_gradients_flow():
     g = np.asarray(jax.grad(loss)(camera.origin))
     assert np.isfinite(g).all()
     assert np.abs(g).max() > 0
+
+
+def test_camera_pose_recovery_fd():
+    """Recover a perturbed camera position with correlated-FD gradients
+    (examples/camera_calibration.py in miniature). Camera translation is
+    visibility-dominated, so FD — exact under the stateless RNG — is the
+    reference gradient path for pose (inverse.fd_gradients)."""
+    import optax
+
+    from zraytrace_tpu.inverse import fd_gradients
+
+    scene, _ = _simple_scene(with_tri=True)
+    w = h = 16
+    true_from = jnp.asarray((0.0, 0.0, -5.0), jnp.float32)
+    look_at = jnp.asarray((0.0, 0.0, 1.0), jnp.float32)
+
+    def render_at(p):
+        c = make_camera(p["look_from"], look_at, (0.0, 1.0, 0.0), 45.0, 1.0)
+        return render_diff(scene, c, w, h, 8, 3, seed=13)
+
+    target = jnp.asarray(np.asarray(render_at({"look_from": true_from})))
+
+    def loss_fn(p):
+        d = render_at(p) - target
+        return jnp.mean(d * d)
+
+    loss_jit = jax.jit(loss_fn)
+    params = {"look_from": true_from + jnp.asarray((0.15, -0.1, 0.2),
+                                                   jnp.float32)}
+    optimizer = optax.adam(2e-2)
+    opt_state = optimizer.init(params)
+    loss0 = float(loss_jit(params))
+    for _ in range(60):
+        grads = fd_gradients(loss_jit, params, ("look_from",), eps=8e-3)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+    loss1 = float(loss_jit(params))
+    err = float(np.linalg.norm(np.asarray(params["look_from"])
+                               - np.asarray(true_from)))
+    assert loss1 < loss0 * 0.5, (loss0, loss1)
+    assert err < 0.15, err
