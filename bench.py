@@ -61,7 +61,7 @@ def main() -> int:
             exit_frac=(int(os.environ.get("ZRAYTRACE_BENCH_EXIT_NUM", "3")),
                        int(os.environ.get("ZRAYTRACE_BENCH_EXIT_DEN", "5"))),
             return_launches=True,
-            sample_groups=int(os.environ.get("ZRAYTRACE_BENCH_GROUPS", "16")),
+            sample_groups=int(os.environ.get("ZRAYTRACE_BENCH_GROUPS", "8")),
         )
 
 
@@ -97,10 +97,16 @@ def main() -> int:
             const_materials=mesh_materials_const(scene))
         tile_coherent = True
     n_pixels = size * size
-    # 2^17 lanes x 8 slots measured best: occupancy waste ~2.10
-    # lane-steps/ray, near the 2.14 rays/sample floor (PERF.md).
+    # Megakernel (sphere-only scenes): 2^16 lanes x 16 slots measured
+    # best (727.3M) — more windows per lane shrinks the per-lane
+    # texel-miss max that pins the launch count; 2^15 pays too much
+    # launch overhead, 2^17/2^18 pay the miss imbalance (PERF.md).
+    # Mesh scenes (flash kernel) keep the 2^17 wavefront they were
+    # tuned at.
+    lanes_default = 1 << 16 if scene.n_triangles == 0 else 1 << 17
     n_lanes = min(
-        n_pixels, int(os.environ.get("ZRAYTRACE_BENCH_LANES", str(1 << 17)))
+        n_pixels, int(os.environ.get("ZRAYTRACE_BENCH_LANES",
+                                     str(lanes_default)))
     )
     if tile_coherent:
         from zraytrace_tpu.render import TILE_H, TILE_W

@@ -165,3 +165,26 @@ def test_kernel3_mat_classes_identical():
         mat_classes=material_classes(built.scene))
     np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
     np.testing.assert_array_equal(np.asarray(s0), np.asarray(s1))
+
+
+def test_render_pallas_max_wavefront_cap():
+    """render() narrows the megakernel wavefront to pallas_max_wavefront
+    (the measured sweet spot is narrower than max_wavefront); the slot
+    remap must keep images and counters layout-invariant."""
+    from zraytrace_tpu.config import RenderParams
+    from zraytrace_tpu.render import render
+
+    built = three_balls()
+    imgs, stats = [], []
+    for cap in (256, 1 << 20):
+        params = RenderParams(width=32, height=24, samples_per_pixel=2,
+                              max_depth=4, use_pallas=True,
+                              pallas_max_wavefront=cap)
+        img, st = render(built.scene, built.camera, params)
+        imgs.append(np.asarray(img))
+        stats.append(st)
+    assert stats[0].rays == stats[1].rays
+    assert stats[0].reflections == stats[1].reflections
+    # identical streams; rare texel-boundary flips allowed (grid-shape-
+    # dependent f32 fusion of the in-kernel polynomial trig)
+    _assert_images_close(imgs[0], imgs[1])

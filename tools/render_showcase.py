@@ -45,6 +45,8 @@ def render_scene(scene_idx, outdir, spp=None, size=None, depth=None,
     built = build_scene(scene_idx)
     scene = built.scene
     use_pallas = scene.n_triangles == 0  # megakernel: the bench engine
+    if use_pallas:
+        lanes = min(lanes, 1 << 16)  # megakernel sweet spot (bench.py)
     tri_flash = None
     tile = False
     if scene.n_triangles > 0:
@@ -88,7 +90,7 @@ def render_scene(scene_idx, outdir, spp=None, size=None, depth=None,
                 depth, start, n_slots, n_lanes, n_pix,
                 n_bounce=160, r_blk=32, exit_frac=(3, 5),
                 return_launches=True,
-                sample_groups=max(1, min(16, chunk_spp)),
+                sample_groups=max(1, min(8, chunk_spp)),
                 mat_classes=material_classes(built.scene),
             )[:2]
         else:

@@ -45,17 +45,24 @@ class RenderParams:
     # launches exit early when deferred-texel blocks pile up, so this is
     # a cap; larger amortizes the per-launch texture gather further
     # (PERF.md rounds 2-3).
-    # 160 with exit_frac=3/5, r_blk=32 and sample_groups=16 won the
-    # round-3 sweep (686.4M rays/s; PERF.md round 3 continuation).
+    # 160 with exit_frac=3/5, r_blk=32, sample_groups=8 and 65536 lanes
+    # won the round-3 sweep (727.3M rays/s; PERF.md round 3).
     pallas_bounces: int = 160
+    # Megakernel wavefront width. Narrower-than-max lanes give each lane
+    # more pixel windows, which shrinks the per-lane texel-miss MAXIMUM
+    # relative to its mean (the launch count is pinned by the max): 65536
+    # lanes beat 131072 and 262144 on the official bench (PERF.md).
+    pallas_max_wavefront: int = 65536
     # Megakernel grid-block rows: 32-row blocks let each block's
     # while_loop exit adaptively (PERF.md round-3 continuation).
     pallas_r_blk: int = 32
     # Sample-interleave factor for the megakernel: each pixel's spp is
     # split into this many windows traced by different lanes, cutting
     # the per-lane texel-event maximum that pins the launch count
-    # (PERF.md round 3). Clamped to spp at trace time.
-    pallas_sample_groups: int = 16
+    # (PERF.md round 3). Clamped to spp at trace time. G=16 won at
+    # 131072 lanes; at the 65536-lane default the occupancy is already
+    # high and the cheaper G=8 fold wins.
+    pallas_sample_groups: int = 8
     # Sample-interleave for the XLA wavefront (mesh scenes): same
     # rotated-base schedule, implemented in the XLA loop. Spreads heavy
     # pixels' samples over G lanes, cutting lockstep occupancy waste

@@ -156,7 +156,10 @@ VMEM_LIMIT = 100 * 1024 * 1024
 # PCG4D streams are keyed by (pixel, sample) — event counters stay
 # bit-exact under any schedule; pixel sums change only in float
 # summation order (group partial sums).
-N_CACHE = int(_os.environ.get("ZRAYTRACE_K3_CACHE", "4"))
+# 6 FIFO entries win at the 65536-lane default (727.3M vs 717.2M at 4;
+# 8 and 12 regress — compare-chain cost); at 131072 lanes the curve was
+# flat past 4 (PERF.md).
+N_CACHE = int(_os.environ.get("ZRAYTRACE_K3_CACHE", "6"))
 K_TEX = int(_os.environ.get("ZRAYTRACE_K3_TEX", "4"))
 M_REC = int(_os.environ.get("ZRAYTRACE_K3_REC", "4"))
 # NEIGHBOR-SHARED cache entries (appended after the own-FIFO entries):
