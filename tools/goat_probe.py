@@ -82,7 +82,9 @@ def main():
 
     size = args.size
     n_pix = size * size
-    tx, ty = -(-size // 64), -(-size // 8)
+    from zraytrace_tpu.render import TILE_H, TILE_W
+
+    tx, ty = -(-size // TILE_W), -(-size // TILE_H)
     padded = tx * ty * 512
     n_lanes = min(padded, 1 << 17)
     n_slots = -(-padded // n_lanes)
@@ -121,8 +123,8 @@ def main():
         flat = total.reshape(n_slots * n_lanes, 3)
         g = np.arange(n_slots * n_lanes)
         blk, within = g // 512, g % 512
-        px = (blk % tx) * 64 + within % 64
-        py = (blk // tx) * 8 + within // 64
+        px = (blk % tx) * TILE_W + within % TILE_W
+        py = (blk // tx) * TILE_H + within // TILE_W
         valid = (px < size) & (py < size)
         dst = np.zeros((n_pix, 3), np.float64)
         dst[py[valid] * size + px[valid]] = flat[valid]

@@ -64,7 +64,9 @@ def render_scene(scene_idx, outdir, spp=None, size=None, depth=None,
 
     n_pix = size * size
     if tile:
-        tx, ty = -(-size // 64), -(-size // 8)
+        from zraytrace_tpu.render import TILE_H, TILE_W
+
+        tx, ty = -(-size // TILE_W), -(-size // TILE_H)
         padded = tx * ty * 512
         n_lanes = min(padded, -(-min(lanes, n_pix) // 512) * 512)
         n_slots = -(-padded // n_lanes)
@@ -119,9 +121,9 @@ def render_scene(scene_idx, outdir, spp=None, size=None, depth=None,
     if tile:
         g = np.arange(n_slots * n_lanes, dtype=np.int64)
         blk, within = g // 512, g % 512
-        tx = -(-size // 64)
-        px = (blk % tx) * 64 + within % 64
-        py = (blk // tx) * 8 + within // 64
+        tx = -(-size // TILE_W)
+        px = (blk % tx) * TILE_W + within % TILE_W
+        py = (blk // tx) * TILE_H + within // TILE_W
         valid = (px < size) & (py < size)
         dst = np.zeros((n_pix, 3), np.float64)
         dst[py[valid] * size + px[valid]] = flat[valid]

@@ -39,8 +39,12 @@ class RenderParams:
     # Maximum number of rays resident in one wavefront. Images with more
     # pixels than this are traced tile by tile.
     max_wavefront: int = 1 << 20
-    # Use the Pallas megakernel path when available (else pure-XLA wavefront).
-    use_pallas: bool = False
+    # Use the Pallas megakernel path when available (else pure-XLA
+    # wavefront). None = auto: on for sphere-only scenes on a real TPU
+    # (the bench engine, ~10x the XLA wavefront), off elsewhere (the
+    # interpreter-mode kernel on CPU is for tests only). True forces it
+    # even on CPU; False forces the XLA wavefront everywhere.
+    use_pallas: bool | None = None
     # Max bounce iterations per megakernel launch (ops/bounce_kernel3):
     # launches exit early when deferred-texel blocks pile up, so this is
     # a cap; larger amortizes the per-launch texture gather further

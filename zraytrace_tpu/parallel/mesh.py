@@ -159,8 +159,10 @@ def render_sharded(
             scene.tri_a, scene.tri_b, scene.tri_c,
             tri_mat=scene.tri_mat,
             const_materials=mesh_materials_const(scene))
+    want_pallas = (params.use_pallas if params.use_pallas is not None
+                   else jax.default_backend() == "tpu")
     use_pallas = (
-        params.use_pallas and scene.n_triangles == 0 and scene.n_spheres > 0
+        want_pallas and scene.n_triangles == 0 and scene.n_spheres > 0
     )
 
     # Shard-local lane-count granularity: flash kernel needs 512-ray

@@ -554,7 +554,9 @@ def render(scene: Scene, camera: cam.Camera, params: RenderParams):
 
     stats = RenderStats(pixels=n_pixels)
     t1 = time.perf_counter()
-    if (params.use_pallas and scene.n_triangles == 0
+    want_pallas = (params.use_pallas if params.use_pallas is not None
+                   else jax.default_backend() == "tpu")
+    if (want_pallas and scene.n_triangles == 0
             and n_lanes > params.pallas_max_wavefront
             and params.pallas_max_wavefront % 256 == 0):
         # Megakernel sweet spot: narrower lanes, more slots (config.py).
@@ -562,7 +564,7 @@ def render(scene: Scene, camera: cam.Camera, params: RenderParams):
         n_slots = math.ceil(n_pixels / n_lanes)
     base = jnp.arange(n_lanes, dtype=jnp.int32)
     use_pallas = (
-        params.use_pallas
+        want_pallas
         and scene.n_triangles == 0
         and scene.n_spheres > 0
         and n_lanes % 256 == 0
