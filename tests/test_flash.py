@@ -153,6 +153,13 @@ def test_tile_coherent_mapping_bitexact():
     np.testing.assert_array_equal(np.asarray(cnt_row)[:5],
                                   np.asarray(cnt_tile)[:5])
 
+    # the library's shared inverse map must agree with this test's
+    # independent reimplementation (render(), showcase + goat tools)
+    from zraytrace_tpu.render import untile_pixels
+
+    np.testing.assert_array_equal(
+        untile_pixels(np.asarray(sums_tile[0]), w, h), flat)
+
 
 def test_flash_planes_bvh_order_matches_brute():
     """BVH-ordered planes + the orig-id plane return ORIGINAL triangle

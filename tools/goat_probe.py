@@ -120,14 +120,10 @@ def main():
     if args.out:
         from zraytrace_tpu.io.png import write_png
 
+        from zraytrace_tpu.render import untile_pixels
+
         flat = total.reshape(n_slots * n_lanes, 3)
-        g = np.arange(n_slots * n_lanes)
-        blk, within = g // 512, g % 512
-        px = (blk % tx) * TILE_W + within % TILE_W
-        py = (blk // tx) * TILE_H + within // TILE_W
-        valid = (px < size) & (py < size)
-        dst = np.zeros((n_pix, 3), np.float64)
-        dst[py[valid] * size + px[valid]] = flat[valid]
+        dst = untile_pixels(flat, size, size)
         img = (dst / args.spp).reshape(size, size, 3).astype(np.float32)
         write_png(args.out, img)
         print(f"wrote {args.out}", file=sys.stderr)

@@ -119,15 +119,9 @@ def render_scene(scene_idx, outdir, spp=None, size=None, depth=None,
 
     flat = total.reshape(n_slots * n_lanes, 3)
     if tile:
-        g = np.arange(n_slots * n_lanes, dtype=np.int64)
-        blk, within = g // 512, g % 512
-        tx = -(-size // TILE_W)
-        px = (blk % tx) * TILE_W + within % TILE_W
-        py = (blk // tx) * TILE_H + within // TILE_W
-        valid = (px < size) & (py < size)
-        dst = np.zeros((n_pix, 3), np.float64)
-        dst[py[valid] * size + px[valid]] = flat[valid]
-        flat = dst
+        from zraytrace_tpu.render import untile_pixels
+
+        flat = untile_pixels(flat, size, size)
     else:
         flat = flat[:n_pix]
     img = (flat / spp).reshape(size, size, 3).astype(np.float32)

@@ -508,6 +508,28 @@ def maybe_build_bvh(scene: Scene, params: RenderParams):
     return None
 
 
+def untile_pixels(flat, w, h):
+    """Invert the TILE_W x TILE_H tile-coherent lane map.
+
+    ``flat`` has one row per (slot, lane) position in tile order (each
+    consecutive block of 512 rows is one pixel tile); returns ``(w*h,
+    ...)`` in row-major pixel order, dropping padding positions. The
+    single source of truth for the inverse map — render(), the showcase
+    tool and the goat probe all go through here (a stale hand-copied
+    64x8 unmap once scrambled every mesh showcase image).
+    """
+    n = flat.shape[0]
+    g = np.arange(n, dtype=np.int64)
+    blk, within = g // 512, g % 512
+    tx = -(-w // TILE_W)
+    px = (blk % tx) * TILE_W + within % TILE_W
+    py = (blk // tx) * TILE_H + within // TILE_W
+    valid = (px < w) & (py < h)
+    out = np.zeros((w * h,) + flat.shape[1:], flat.dtype)
+    out[py[valid] * w + px[valid]] = flat[valid]
+    return out
+
+
 def render(scene: Scene, camera: cam.Camera, params: RenderParams):
     """Render a full image. Returns ``(image (H, W, 3) f32, RenderStats)``.
 
@@ -604,16 +626,7 @@ def render(scene: Scene, camera: cam.Camera, params: RenderParams):
             sums = folded
     sums = np.asarray(sums).reshape(n_slots * n_lanes, 3)
     if tile_coherent:
-        # invert the TILE_W x TILE_H tile map: global index g -> pixel id
-        g = np.arange(n_slots * n_lanes, dtype=np.int64)
-        blk, within = g // 512, g % 512
-        tx = -(-w // TILE_W)
-        px = (blk % tx) * TILE_W + within % TILE_W
-        py = (blk // tx) * TILE_H + within // TILE_W
-        valid = (px < w) & (py < h)
-        flat = np.zeros((n_pixels, 3), sums.dtype)
-        flat[(py[valid] * w + px[valid])] = sums[valid]
-        sums = flat
+        sums = untile_pixels(sums, w, h)
     else:
         # pixel p lives at (slot p // n_lanes, lane p % n_lanes)
         sums = sums[:n_pixels]
