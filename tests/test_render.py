@@ -292,3 +292,18 @@ def test_wavefront_groups_tile_coherent_fold():
         fold += np.roll(np.asarray(sg[g]), g * shf, axis=0)
     np.testing.assert_allclose(np.asarray(s1)[0], fold,
                                rtol=1e-5, atol=1e-6)
+
+
+def test_use_pallas_auto_resolution():
+    """use_pallas=None resolves by backend: CPU keeps the XLA wavefront
+    (the interpreter-mode kernel is for tests); explicit True/False
+    force. Auto-CPU must be image-identical to explicit False."""
+    scene, camera = _mini_scene()
+    p_auto = RenderParams(width=8, height=8, samples_per_pixel=2,
+                          max_depth=3)
+    p_off = RenderParams(width=8, height=8, samples_per_pixel=2,
+                         max_depth=3, use_pallas=False)
+    img_a, st_a = render(scene, camera, p_auto)
+    img_o, st_o = render(scene, camera, p_off)
+    np.testing.assert_array_equal(np.asarray(img_a), np.asarray(img_o))
+    assert st_a.rays == st_o.rays
