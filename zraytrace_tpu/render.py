@@ -576,23 +576,21 @@ def render(scene: Scene, camera: cam.Camera, params: RenderParams):
 
     stats = RenderStats(pixels=n_pixels)
     t1 = time.perf_counter()
-    want_pallas = (params.use_pallas if params.use_pallas is not None
-                   else jax.default_backend() == "tpu")
-    if (want_pallas and scene.n_triangles == 0
-            and n_lanes > params.pallas_max_wavefront
+    want_pallas = (
+        (params.use_pallas if params.use_pallas is not None
+         else jax.default_backend() == "tpu")
+        and scene.n_triangles == 0
+        and scene.n_spheres > 0
+        # the kernel's div-free pixel->(x,y) needs f32-exact pixel ids
+        and n_pixels < (1 << 22)
+    )
+    if (want_pallas and n_lanes > params.pallas_max_wavefront
             and params.pallas_max_wavefront % 256 == 0):
         # Megakernel sweet spot: narrower lanes, more slots (config.py).
         n_lanes = params.pallas_max_wavefront
         n_slots = math.ceil(n_pixels / n_lanes)
     base = jnp.arange(n_lanes, dtype=jnp.int32)
-    use_pallas = (
-        want_pallas
-        and scene.n_triangles == 0
-        and scene.n_spheres > 0
-        and n_lanes % 256 == 0
-        # the kernel's div-free pixel->(x,y) needs f32-exact pixel ids
-        and n_pixels < (1 << 22)
-    )
+    use_pallas = want_pallas and n_lanes % 256 == 0
     if use_pallas:
         from zraytrace_tpu.ops.bounce_kernel3 import _wavefront_pallas3_jit
 
