@@ -163,6 +163,8 @@ def render_sharded(
                    else jax.default_backend() == "tpu")
     use_pallas = (
         want_pallas and scene.n_triangles == 0 and scene.n_spheres > 0
+        # same div-free pixel-decode guard as render()
+        and n_pixels < (1 << 22)
     )
 
     # Shard-local lane-count granularity: flash kernel needs 512-ray
@@ -170,6 +172,9 @@ def render_sharded(
     gran = n_data * (512 if tri_flash is not None else
                      256 if use_pallas else 1)
     n_lanes = min(n_pixels, params.max_wavefront)
+    if use_pallas:
+        # per-shard megakernel sweet spot (config.pallas_max_wavefront)
+        n_lanes = min(n_lanes, params.pallas_max_wavefront * n_data)
     n_lanes = math.ceil(n_lanes / gran) * gran
     n_slots = math.ceil(n_pixels / n_lanes)
     ids = np.arange(n_lanes, dtype=np.int32)
