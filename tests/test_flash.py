@@ -322,3 +322,22 @@ print("DENSE-OK")
                          capture_output=True, text=True, timeout=600)
     assert out.returncode == 0, out.stderr[-2000:]
     assert "DENSE-OK" in out.stdout
+
+
+@pytest.mark.parametrize("wh", [(1, 1), (33, 17), (100, 9), (700, 700)])
+def test_untile_pixels_roundtrip(wh):
+    """untile_pixels must be the exact inverse of the in-trace forward
+    tile map (render.lane_pixel's tile branch) at awkward sizes,
+    including partial tiles on both axes."""
+    from zraytrace_tpu.render import TILE_H, TILE_W, untile_pixels
+
+    w, h = wh
+    tx, ty = -(-w // TILE_W), -(-h // TILE_H)
+    padded = tx * ty * 512
+    g = np.arange(padded)
+    blk, within = g // 512, g % 512
+    px = (blk % tx) * TILE_W + within % TILE_W
+    py = (blk // tx) * TILE_H + within // TILE_W
+    pid = np.where((px < w) & (py < h), py * w + px, -1).astype(np.float64)
+    out = untile_pixels(pid[:, None], w, h)
+    np.testing.assert_array_equal(out[:, 0], np.arange(w * h, dtype=np.float64))
