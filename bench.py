@@ -101,9 +101,12 @@ def main() -> int:
     # best (727.3M) — more windows per lane shrinks the per-lane
     # texel-miss max that pins the launch count; 2^15 pays too much
     # launch overhead, 2^17/2^18 pay the miss imbalance (PERF.md).
-    # Mesh scenes (flash kernel) keep the 2^17 wavefront they were
-    # tuned at.
-    lanes_default = 1 << 16 if scene.n_triangles == 0 else 1 << 17
+    # Mesh scenes (flash kernel), the XLA wavefront (PALLAS=0) and the
+    # round-2 kernel (KERNEL=2) keep the 2^17 wavefront their recorded
+    # numbers were measured at.
+    k3_engine = (scene.n_triangles == 0 and kern != "2"
+                 and os.environ.get("ZRAYTRACE_BENCH_PALLAS", "1") == "1")
+    lanes_default = 1 << 16 if k3_engine else 1 << 17
     n_lanes = min(
         n_pixels, int(os.environ.get("ZRAYTRACE_BENCH_LANES",
                                      str(lanes_default)))

@@ -24,11 +24,14 @@ import numpy as np
 
 
 def render_scene(scene_idx, outdir, spp=None, size=None, depth=None,
-                 lanes=1 << 17, chunk_spp=25):
+                 lanes=None, chunk_spp=25):
+    from zraytrace_tpu.config import RenderParams
     from zraytrace_tpu.geometry.bvh import build_tri_bvh
     from zraytrace_tpu.io.png import write_png
     from zraytrace_tpu.render import _counters_to_ints, _wavefront_jit
     from zraytrace_tpu.scenes import build_scene
+
+    dflt = RenderParams(width=1, height=1, samples_per_pixel=1, max_depth=1)
 
     if scene_idx == 1:
         size = size or 1000
@@ -45,8 +48,8 @@ def render_scene(scene_idx, outdir, spp=None, size=None, depth=None,
     built = build_scene(scene_idx)
     scene = built.scene
     use_pallas = scene.n_triangles == 0  # megakernel: the bench engine
-    if use_pallas:
-        lanes = min(lanes, 1 << 16)  # megakernel sweet spot (bench.py)
+    if lanes is None:  # explicit --lanes always wins
+        lanes = dflt.pallas_max_wavefront if use_pallas else 1 << 17
     tri_flash = None
     tile = False
     if scene.n_triangles > 0:
@@ -85,14 +88,20 @@ def render_scene(scene_idx, outdir, spp=None, size=None, depth=None,
             )
             from zraytrace_tpu.scene import material_classes
 
-            # return_launches=True matches bench.py's traced program so the
-            # persistent compile cache is shared between the two tools.
+            # Knobs come from RenderParams' locked defaults, and
+            # return_launches=True matches bench.py's traced program, so
+            # the persistent compile cache is shared between the tools.
+            from zraytrace_tpu.render import pallas_r_blk
+
             sums, cnts = _wavefront_pallas3_jit(
                 built.scene, built.camera, base, 42, size, size, step,
                 depth, start, n_slots, n_lanes, n_pix,
-                n_bounce=160, r_blk=32, exit_frac=(3, 5),
+                n_bounce=dflt.pallas_bounces,
+                r_blk=pallas_r_blk(n_lanes, dflt.pallas_r_blk),
+                exit_frac=(3, 5),
                 return_launches=True,
-                sample_groups=max(1, min(8, chunk_spp)),
+                sample_groups=max(1, min(dflt.pallas_sample_groups,
+                                         chunk_spp)),
                 mat_classes=material_classes(built.scene),
             )[:2]
         else:
@@ -147,7 +156,7 @@ def main():
     ap.add_argument("--spp", type=int, default=None)
     ap.add_argument("--size", type=int, default=None)
     ap.add_argument("--depth", type=int, default=None)
-    ap.add_argument("--lanes", type=int, default=1 << 17)
+    ap.add_argument("--lanes", type=int, default=None)
     ap.add_argument("--chunk-spp", type=int, default=25)
     args = ap.parse_args()
     for sidx in args.scene:

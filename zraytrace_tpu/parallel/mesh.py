@@ -65,7 +65,8 @@ def shard_lanes(lanes: jnp.ndarray, mesh: Mesh):
 
 
 def _sharded_wavefront(mesh: Mesh, n_slots: int, use_pallas: bool,
-                       n_bounce: int):
+                       n_bounce: int, r_blk: int = 32,
+                       sample_groups: int = 1, mat_classes=None):
     """shard_map'd wavefront: each shard traces its lane slice (with
     strided multi-pixel slots, exactly like the single-chip engine) for
     its sample slice; pixel sums psum over the sample axis.
@@ -86,7 +87,8 @@ def _sharded_wavefront(mesh: Mesh, n_slots: int, use_pallas: bool,
                 scene, camera, pixel_ids, seed, width, height,
                 spp_local, max_depth, sample_start=sample_starts[0],
                 n_slots=n_slots, pixel_stride=stride, n_pixels=n_pixels,
-                n_bounce=n_bounce,
+                n_bounce=n_bounce, r_blk=r_blk,
+                sample_groups=sample_groups, mat_classes=mat_classes,
             )
         else:
             slot_sums, counters = wavefront_trace(
@@ -159,13 +161,9 @@ def render_sharded(
             scene.tri_a, scene.tri_b, scene.tri_c,
             tri_mat=scene.tri_mat,
             const_materials=mesh_materials_const(scene))
-    want_pallas = (params.use_pallas if params.use_pallas is not None
-                   else jax.default_backend() == "tpu")
-    use_pallas = (
-        want_pallas and scene.n_triangles == 0 and scene.n_spheres > 0
-        # same div-free pixel-decode guard as render()
-        and n_pixels < (1 << 22)
-    )
+    from zraytrace_tpu.render import pallas_wanted
+
+    use_pallas = pallas_wanted(params, scene, n_pixels)
 
     # Shard-local lane-count granularity: flash kernel needs 512-ray
     # blocks, the megakernel 128-lane rows.
@@ -178,10 +176,15 @@ def render_sharded(
     n_lanes = math.ceil(n_lanes / gran) * gran
     n_slots = math.ceil(n_pixels / n_lanes)
     ids = np.arange(n_lanes, dtype=np.int32)
-    # Padding lanes get an id >= n_pixels: lane_alive() is false from the
-    # start, so they stay idle and contribute nothing to image or counters
-    # (re-tracing pixel 0 would over-report RenderStats).
-    ids[n_pixels:] = n_pixels
+    if not use_pallas:
+        # Padding lanes get an id >= n_pixels: lane_alive() is false from
+        # the start, so they stay idle and contribute nothing to image or
+        # counters (re-tracing pixel 0 would over-report RenderStats).
+        # The megakernel instead REQUIRES each shard's base to be a
+        # contiguous range (its sample-interleave rotation wraps within
+        # [lo, lo+n)); ids beyond n_pixels idle through the same
+        # pixel-validity check, so it keeps the raw arange.
+        ids[n_pixels:] = n_pixels
     sample_starts = jnp.arange(n_sample, dtype=jnp.int32) * spp_local
 
     scene_r = replicate(scene, mesh)
@@ -190,8 +193,19 @@ def render_sharded(
     tri_flash_r = (replicate(tri_flash, mesh)
                    if tri_flash is not None else None)
     ids_s = shard_lanes(jnp.asarray(ids), mesh)
-    fn = _sharded_wavefront(mesh, n_slots, use_pallas,
-                            params.pallas_bounces)
+    mat_classes = None
+    if use_pallas:
+        from zraytrace_tpu.render import pallas_r_blk
+        from zraytrace_tpu.scene import material_classes
+
+        mat_classes = material_classes(scene)
+    fn = _sharded_wavefront(
+        mesh, n_slots, use_pallas, params.pallas_bounces,
+        r_blk=(pallas_r_blk(n_lanes // n_data, params.pallas_r_blk)
+               if use_pallas else 32),
+        sample_groups=max(1, min(params.pallas_sample_groups, spp_local)),
+        mat_classes=mat_classes,
+    )
     t1 = time.perf_counter()
     sums, counters = fn(
         scene_r, camera_r, ids_s, params.seed, w, h, spp_local,

@@ -508,6 +508,31 @@ def maybe_build_bvh(scene: Scene, params: RenderParams):
     return None
 
 
+def pallas_wanted(params: RenderParams, scene: Scene, n_pixels: int) -> bool:
+    """Resolve the tri-state ``use_pallas`` policy (config.py) — shared
+    by ``render()`` and ``render_sharded`` so the two entry points never
+    drift: sphere-only scenes on a real TPU by default, bounded by the
+    megakernel's div-free pixel-decode range."""
+    want = (params.use_pallas if params.use_pallas is not None
+            else jax.default_backend() == "tpu")
+    return (want and scene.n_triangles == 0 and scene.n_spheres > 0
+            # the kernel's div-free pixel->(x,y) needs f32-exact pixel ids
+            and n_pixels < (1 << 22))
+
+
+def pallas_r_blk(n_lanes: int, r_blk: int) -> int:
+    """Largest megakernel grid-block row count <= ``r_blk`` that divides
+    the wavefront's lane rows (the kernel requires rows % r_blk == 0;
+    rows = n_lanes // 128). 96x64 images give 48 rows, which the tuned
+    default of 32 does not divide — the block size adapts down instead
+    of asserting."""
+    rows = max(1, n_lanes // 128)
+    r = min(r_blk, rows)
+    while rows % r:
+        r -= 1
+    return r
+
+
 def untile_pixels(flat, w, h):
     """Invert the TILE_W x TILE_H tile-coherent lane map.
 
@@ -576,18 +601,12 @@ def render(scene: Scene, camera: cam.Camera, params: RenderParams):
 
     stats = RenderStats(pixels=n_pixels)
     t1 = time.perf_counter()
-    want_pallas = (
-        (params.use_pallas if params.use_pallas is not None
-         else jax.default_backend() == "tpu")
-        and scene.n_triangles == 0
-        and scene.n_spheres > 0
-        # the kernel's div-free pixel->(x,y) needs f32-exact pixel ids
-        and n_pixels < (1 << 22)
-    )
-    if (want_pallas and n_lanes > params.pallas_max_wavefront
-            and params.pallas_max_wavefront % 256 == 0):
-        # Megakernel sweet spot: narrower lanes, more slots (config.py).
-        n_lanes = params.pallas_max_wavefront
+    want_pallas = pallas_wanted(params, scene, n_pixels)
+    # Megakernel sweet spot: narrower lanes, more slots (config.py).
+    # Any cap value works — it rounds down to the kernel's 256-lane grain.
+    pl_cap = params.pallas_max_wavefront // 256 * 256
+    if want_pallas and pl_cap >= 256 and n_lanes > pl_cap:
+        n_lanes = pl_cap
         n_slots = math.ceil(n_pixels / n_lanes)
     base = jnp.arange(n_lanes, dtype=jnp.int32)
     use_pallas = want_pallas and n_lanes % 256 == 0
@@ -600,7 +619,7 @@ def render(scene: Scene, camera: cam.Camera, params: RenderParams):
             scene, camera, base, params.seed, w, h, spp, params.max_depth,
             0, n_slots, n_lanes, n_pixels,
             n_bounce=params.pallas_bounces,
-            r_blk=params.pallas_r_blk,
+            r_blk=pallas_r_blk(n_lanes, params.pallas_r_blk),
             sample_groups=max(1, min(params.pallas_sample_groups, spp)),
             mat_classes=material_classes(scene),
         )
