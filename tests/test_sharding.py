@@ -153,3 +153,29 @@ def test_sharded_render_pallas_kernel():
     assert st_x.samples == st_p.samples
     diff = np.abs(img_x - img_p)
     assert np.median(diff) < 1e-5
+
+
+def test_sharded_pallas_receives_tuned_knobs(monkeypatch):
+    """Regression: the sharded megakernel call once dropped
+    sample_groups/mat_classes/r_blk, silently running the un-tuned
+    kernel variant (counter-exact, image-identical — only timing
+    showed it). Spy on the kernel entry to pin the contract."""
+    import zraytrace_tpu.ops.bounce_kernel3 as k3
+
+    captured = {}
+    real = k3.wavefront_trace_pallas3
+
+    def spy(*a, **kw):
+        captured.update(kw)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(k3, "wavefront_trace_pallas3", spy)
+    scene, camera = _scene()
+    mesh = make_mesh(n_data=2, n_sample=1, devices=jax.devices()[:2])
+    params = RenderParams(width=16, height=16, samples_per_pixel=4,
+                          max_depth=3, use_pallas=True, pallas_bounces=4)
+    render_sharded(scene, camera, params, mesh)
+    assert captured["sample_groups"] == min(
+        params.pallas_sample_groups, params.samples_per_pixel)
+    assert captured["mat_classes"] is not None
+    assert captured["r_blk"] >= 1
