@@ -188,3 +188,21 @@ def test_render_pallas_max_wavefront_cap():
     # identical streams; rare texel-boundary flips allowed (grid-shape-
     # dependent f32 fusion of the in-kernel polynomial trig)
     _assert_images_close(imgs[0], imgs[1])
+
+
+def test_render_pallas_any_image_size():
+    """Images whose pixel count is not 256-divisible round the wavefront
+    UP (idle padding lanes) instead of falling back to the XLA engine —
+    counters must stay exact at awkward sizes."""
+    from zraytrace_tpu.config import RenderParams
+    from zraytrace_tpu.render import render
+
+    built = three_balls()
+    for (w, h) in [(10, 10), (33, 17)]:
+        rp = render(built.scene, built.camera,
+                    RenderParams(w, h, 2, 3, use_pallas=True))
+        rx = render(built.scene, built.camera,
+                    RenderParams(w, h, 2, 3, use_pallas=False))
+        assert rp[1].rays == rx[1].rays, (w, h)
+        assert rp[1].samples == w * h * 2
+        _assert_images_close(np.asarray(rp[0]), np.asarray(rx[0]))

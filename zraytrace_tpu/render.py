@@ -522,15 +522,19 @@ def pallas_wanted(params: RenderParams, scene: Scene, n_pixels: int) -> bool:
 
 def pallas_r_blk(n_lanes: int, r_blk: int) -> int:
     """Largest megakernel grid-block row count <= ``r_blk`` that divides
-    the wavefront's lane rows (the kernel requires rows % r_blk == 0;
-    rows = n_lanes // 128). 96x64 images give 48 rows, which the tuned
-    default of 32 does not divide — the block size adapts down instead
-    of asserting."""
+    the wavefront's lane rows (rows = n_lanes // 128) AND satisfies
+    Mosaic's lowering rule: a block's sublane dimension must be
+    divisible by 8 or equal the whole array (interpret mode does not
+    enforce this — only real-TPU lowering does). 96x64 images give 48
+    rows -> 16-row blocks; when no 8-divisible divisor exists (e.g. 20
+    rows) the whole wavefront becomes one block."""
     rows = max(1, n_lanes // 128)
-    r = min(r_blk, rows)
-    while rows % r:
-        r -= 1
-    return r
+    if rows <= r_blk:
+        return rows  # block == array: always lowers
+    for cand in range(min(r_blk, rows), 7, -1):
+        if rows % cand == 0 and cand % 8 == 0:
+            return cand
+    return rows
 
 
 def untile_pixels(flat, w, h):
@@ -607,6 +611,13 @@ def render(scene: Scene, camera: cam.Camera, params: RenderParams):
     pl_cap = params.pallas_max_wavefront // 256 * 256
     if want_pallas and pl_cap >= 256 and n_lanes > pl_cap:
         n_lanes = pl_cap
+        n_slots = math.ceil(n_pixels / n_lanes)
+    if want_pallas and n_lanes % 256:
+        # Round the wavefront UP to the kernel's 256-lane grain: padding
+        # lanes (pixel ids beyond n_pixels at every slot) idle through
+        # the same validity check partial windows use, so counters and
+        # pixels are unaffected — any image size gets the megakernel.
+        n_lanes = -(-n_lanes // 256) * 256
         n_slots = math.ceil(n_pixels / n_lanes)
     base = jnp.arange(n_lanes, dtype=jnp.int32)
     use_pallas = want_pallas and n_lanes % 256 == 0
