@@ -67,6 +67,15 @@ class RenderParams:
     # 131072 lanes; at the 65536-lane default the occupancy is already
     # high and the cheaper G=8 fold wins.
     pallas_sample_groups: int = 8
+    # Route MESH scenes through the bounce megakernel too (deferred
+    # mesh-hit stall, ops/bounce_kernel3): segments that can reach the
+    # mesh root AABB block in-kernel and are batch-resolved with one
+    # flash call per launch; everything else bounces at megakernel
+    # speed. Requires const-color triangle materials (true for every
+    # reference scene). None = auto (on for mixed scenes on a real
+    # TPU); True forces it (CPU interpret mode: tests); False keeps
+    # the XLA wavefront + per-bounce flash path.
+    pallas_mesh: bool | None = None
     # Sample-interleave for the XLA wavefront (mesh scenes): same
     # rotated-base schedule, implemented in the XLA loop. Spreads heavy
     # pixels' samples over G lanes, cutting lockstep occupancy waste

@@ -186,11 +186,31 @@ N_LOCAL = 1 + K_TEX + 5 * M_REC
 
 def make_bounce_kernel3(n_spheres: int, n_mats: int, shape,
                         n_bounce: int, r_blk: int = R_BLK,
-                        exit_frac: tuple = (3, 5), mat_classes=None):
+                        exit_frac: tuple = (3, 5), mat_classes=None,
+                        has_mesh: bool = False):
     """Build the pallas_call: up to ``n_bounce`` wavefront iterations
     over ``(R, 128)`` single-path lane state, gridded in ``r_blk``-row
     blocks. Sphere and material counts are static (unrolled
-    where-chains)."""
+    where-chains).
+
+    ``has_mesh`` adds the DEFERRED MESH-HIT mechanism (mixed scenes,
+    triangle meshes with const-color materials): triangle intersection
+    does not lower usefully in-kernel (the chunk-streaming work belongs
+    to the flash RL kernel, ops/flash_intersect.py), so a segment whose
+    ray can reach the mesh root AABB within its sphere-winner distance
+    BLOCKS — exactly the existing slot-exhaustion suppress-and-replay
+    mechanism — and the glue batch-resolves every blocked lane's closest
+    triangle with ONE flash call per launch. The replayed segment merges
+    the answer by strict ``t < t_best`` (sphere keeps exact ties,
+    raytrace.zig:75-81 insertion-order semantics) and shades with the
+    triangle's const material + precomputed unit normal — bit-identical
+    values to the XLA mesh path (render.trace_closest flash-attrs
+    branch), so event counters stay bit-exact.
+
+    Mesh inputs (after ``base``): box SMEM [lo3, hi3]; per-lane answer
+    planes m_have, m_t, m_nx, m_ny, m_nz, m_mid. Extra local outputs:
+    m_req (lanes awaiting a mesh answer), m_tbest (their sphere-winner
+    t, seeding the flash running winner + chunk-reach cull)."""
     R_total, L = shape
     assert L == LANE
     R = min(r_blk, R_total)
@@ -204,15 +224,25 @@ def make_bounce_kernel3(n_spheres: int, n_mats: int, shape,
     Q_TEX = Q_LOCAL + 1                      # K_TEX slot indices
     Q_REC = Q_TEX + K_TEX                    # M_REC x (r, g, b, slot, mask)
     Q_BLOCKED = Q_REC + 5 * M_REC
-    Q_COUNT = Q_BLOCKED + 1
+    # mesh carry (has_mesh only): m_have (answer available for the
+    # lane's current segment), m_req (sticky: blocked awaiting answer),
+    # m_tbest (sphere-winner t at block time)
+    Q_MESH = Q_BLOCKED + 1
+    Q_COUNT = Q_MESH + (3 if has_mesh else 0)
 
     def kernel(*refs):
         (params_ref, cam_ref, sph_ref, mat_ref, base_ref) = refs[:5]
-        state_in = refs[5:5 + N_STATE]
-        outs = refs[5 + N_STATE:]
+        k0 = 5
+        if has_mesh:
+            (box_ref, mh_ref, mta_ref, mnx_ref, mny_ref, mnz_ref,
+             mmid_ref) = refs[5:12]
+            k0 = 12
+        state_in = refs[k0:k0 + N_STATE]
+        outs = refs[k0 + N_STATE:]
+        n_local = N_LOCAL + (2 if has_mesh else 0)
         state_out = outs[:N_STATE]
-        local_out = outs[N_STATE:N_STATE + N_LOCAL]
-        counts_o = outs[N_STATE + N_LOCAL]
+        local_out = outs[N_STATE:N_STATE + n_local]
+        counts_o = outs[N_STATE + n_local]
 
         width = params_ref[P_WIDTH]
         height = params_ref[P_HEIGHT]
@@ -247,6 +277,8 @@ def make_bounce_kernel3(n_spheres: int, n_mats: int, shape,
             texidx = carry[Q_TEX:Q_REC]
             recs = carry[Q_REC:Q_BLOCKED]
             blocked = carry[Q_BLOCKED]
+            if has_mesh:
+                m_have, m_req, m_tbest = carry[Q_MESH:Q_COUNT]
             (n_rays, n_refl, n_miss, n_rec, n_samp, n_tex) = carry[Q_COUNT:]
 
             pixel = baseg + pidx * stride
@@ -303,6 +335,41 @@ def make_bounce_kernel3(n_spheres: int, n_mats: int, shape,
                 rs = jnp.where(better, r, rs)
                 ms = jnp.where(better, mid, ms)
 
+            # ---- deferred mesh hit (docstring): a segment whose ray
+            # can reach the mesh root AABB closer than its sphere
+            # winner either merges the glue's answer (strict <, sphere
+            # keeps ties like trace_closest) or blocks awaiting one.
+            mesh_win = jnp.zeros(blk, jnp.bool_)
+            mesh_block = jnp.zeros(blk, jnp.bool_)
+            if has_mesh:
+                # conservative slab reach test over (t_min, t_best);
+                # |d| = 1 so a clamped ~0 component keeps the interval
+                # a superset of the true one (false stalls only)
+                def slab(o_c, d_c, lo_i, hi_i):
+                    ds = jnp.where(jnp.abs(d_c) < 1e-12,
+                                   jnp.float32(1e-12), d_c)
+                    t0 = (box_ref[lo_i] - o_c) / ds
+                    t1 = (box_ref[hi_i] - o_c) / ds
+                    return jnp.minimum(t0, t1), jnp.maximum(t0, t1)
+                lx0, hx0 = slab(ox, dx, 0, 3)
+                ly0, hy0 = slab(oy, dy, 1, 4)
+                lz0, hz0 = slab(oz, dz, 2, 5)
+                enter = jnp.maximum(jnp.maximum(lx0, ly0), lz0)
+                exit_ = jnp.minimum(jnp.minimum(hx0, hy0), hz0)
+                reach = ((exit_ >= enter) & (exit_ > t_min)
+                         & (enter < t_best))
+                need_mesh = processing & reach
+                m_ans = m_have != 0
+                mesh_block = need_mesh & ~m_ans
+                m_t_in = mta_ref[:]
+                mesh_win = need_mesh & m_ans & (m_t_in < t_best)
+                # record the request (written even though the lane's
+                # segment is suppressed — these are the glue's inputs)
+                m_tbest = jnp.where(mesh_block, t_best, m_tbest)
+                m_req = m_req | mesh_block.astype(jnp.int32)
+                t_best = jnp.where(mesh_win, m_t_in, t_best)
+                ms = jnp.where(mesh_win, mmid_ref[:], ms)
+
             hit = t_best < BIG
             t_attr = jnp.where(hit, t_best, 1.0)
             px_ = ox + t_attr * dx
@@ -312,6 +379,12 @@ def make_bounce_kernel3(n_spheres: int, n_mats: int, shape,
             nx = (px_ - cxs) / safe_r
             ny = (py_ - cys) / safe_r
             nz = (pz_ - czs) / safe_r
+            if has_mesh:
+                # winning triangle: precomputed unit geometric normal
+                # (bit-identical to triangle_surface's, pack_tri_planes)
+                nx = jnp.where(mesh_win, mnx_ref[:], nx)
+                ny = jnp.where(mesh_win, mny_ref[:], ny)
+                nz = jnp.where(mesh_win, mnz_ref[:], nz)
             # front-face flip (hit_record.zig:28-41)
             front = _dot(dx, dy, dz, nx, ny, nz) <= 0.0
             fsign = jnp.where(front, 1.0, -1.0)
@@ -542,7 +615,8 @@ def make_bounce_kernel3(n_spheres: int, n_mats: int, shape,
             park_block = park & ~parked
             commit_block = commit & ~committed
 
-            block_now = run & (tex_block | park_block | commit_block)
+            block_now = run & (tex_block | park_block | commit_block
+                               | mesh_block)
             # effective mask: traced segments plus invalid-slot skips
             w = (run & ~block_now) | skip
 
@@ -617,6 +691,16 @@ def make_bounce_kernel3(n_spheres: int, n_mats: int, shape,
               + tuple(up(o, n) for o, n in zip(recs, recs2)) + (
                 blocked | block_now.astype(jnp.int32),
             )
+            if has_mesh:
+                # a traced segment consumes/staleifies its answer (the
+                # ray advances); skip lanes keep it; blocked lanes are
+                # outside w, so an answer pending a texel-slot replay
+                # survives. m_req/m_tbest are written UNGATED — blocked
+                # lanes must record their request for the glue.
+                carry_out = carry_out + (
+                    up(m_have, jnp.where(skip, m_have, jnp.int32(0))),
+                    m_req, m_tbest,
+                )
             cnt = lambda m: jnp.sum((m & w).astype(jnp.int32))
             return carry_out + (
                 n_rays + cnt(processing), n_refl + cnt(sc_),
@@ -643,12 +727,17 @@ def make_bounce_kernel3(n_spheres: int, n_mats: int, shape,
         init = (zero,) + tuple(r[:] for r in state_in) \
             + (iz,) + (neg1,) * K_TEX \
             + (fz, fz, fz, neg1, iz) * M_REC \
-            + (iz,) + (zero,) * 6
+            + (iz,) \
+            + ((mh_ref[:], iz, fz) if has_mesh else ()) \
+            + (zero,) * 6
         fin = jax.lax.while_loop(cond, iter_body, init)
         it_done = fin[0]
         for r, v in zip(state_out, fin[1:1 + N_STATE]):
             r[:] = v
-        for r, v in zip(local_out, fin[Q_LOCAL:Q_BLOCKED]):
+        local_vals = list(fin[Q_LOCAL:Q_BLOCKED])
+        if has_mesh:  # m_req, m_tbest ride after the shared locals
+            local_vals += [fin[Q_MESH + 1], fin[Q_MESH + 2]]
+        for r, v in zip(local_out, local_vals):
             r[:] = v
         n_rays, n_refl, n_miss, n_rec, n_samp, n_tex = fin[Q_COUNT:]
 
@@ -674,6 +763,8 @@ def make_bounce_kernel3(n_spheres: int, n_mats: int, shape,
                  + [st(i32), st(f32), st(f32), st(f32)] * N_CTOT)
     local_dts = ([st(i32)] + [st(i32)] * K_TEX
                  + [st(f32), st(f32), st(f32), st(i32), st(i32)] * M_REC)
+    if has_mesh:
+        local_dts = local_dts + [st(i32), st(f32)]  # m_req, m_tbest
     out_shape = tuple(
         state_dts + local_dts
         + [jax.ShapeDtypeStruct((n_blocks, N_COUNTS), i32)]
@@ -681,21 +772,26 @@ def make_bounce_kernel3(n_spheres: int, n_mats: int, shape,
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
     lane_blk = lambda: pl.BlockSpec((R, L), lambda i: (i, 0),
                                     memory_space=pltpu.VMEM)
-    in_specs = [smem()] * 4 + [lane_blk()] * (1 + N_STATE)
+    # mesh inputs sit between base and the state planes: box SMEM + 6
+    # per-lane answer planes (m_have, m_t, m_nx, m_ny, m_nz, m_mid)
+    mesh_in = ([smem()] + [lane_blk()] * 6) if has_mesh else []
+    in_specs = [smem()] * 4 + [lane_blk()] + mesh_in \
+        + [lane_blk()] * N_STATE
     out_specs = tuple(
-        [lane_blk()] * (N_STATE + N_LOCAL)
+        [lane_blk()] * (N_STATE + len(local_dts))
         + [pl.BlockSpec(memory_space=pltpu.SMEM)]
     )
+    st0 = 5 + (7 if has_mesh else 0)  # first state-plane input index
     return pl.pallas_call(
         kernel,
         grid=(n_blocks,),
         out_shape=out_shape,
         in_specs=in_specs,
         out_specs=out_specs,
-        # state planes update in place: input k+5 donates its buffer to
-        # output k
+        # state planes update in place: input st0+k donates its buffer
+        # to output k
         input_output_aliases=(
-            {5 + k: k for k in range(N_STATE)} if _ALIAS else {}),
+            {st0 + k: k for k in range(N_STATE)} if _ALIAS else {}),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         interpret=_interpret_mode(),
     )
@@ -729,6 +825,7 @@ def wavefront_trace_pallas3(
     return_launches: bool = False,
     sample_groups: int = 1,
     mat_classes=None,
+    tri_flash=None,
 ):
     """Same contract as render.wavefront_trace (sphere-only scenes):
     lane ``i`` of ``pixel_base`` traces pixels ``base[i] + k*stride``.
@@ -742,11 +839,26 @@ def wavefront_trace_pallas3(
     The returned slot planes keep the caller-visible pixel mapping
     (group planes are rolled back and summed), so only float summation
     order changes; counters stay bit-exact. Requires ``pixel_base`` to
-    be a contiguous range (lane i traces base_lo + i)."""
+    be a contiguous range (lane i traces base_lo + i).
+
+    ``tri_flash`` (ops/flash_intersect.TriPlanes with the const-material
+    ``attrs`` table) enables MIXED scenes: segments that can reach the
+    mesh root AABB block in-kernel and are batch-resolved here with one
+    flash RL call per launch, seeded by each lane's sphere-winner t
+    (non-requesting lanes seed 0, so their chunk work lists are empty).
+    Counters stay bit-exact vs the XLA mesh wavefront (same intersect
+    values through the same flash kernel; blocking changes timing,
+    never events)."""
     from zraytrace_tpu import camera as cam_mod
     from zraytrace_tpu.render import N_COUNTERS, _u64_add
 
-    assert scene.n_triangles == 0 and scene.n_spheres > 0
+    has_mesh = tri_flash is not None
+    if has_mesh:
+        assert tri_flash.attrs is not None, (
+            "mesh megakernel needs the const-material attrs table")
+    else:
+        assert scene.n_triangles == 0
+    assert scene.n_spheres > 0
     n = pixel_base.shape[0]
     assert n % LANE == 0, n
     R = n // LANE
@@ -759,7 +871,7 @@ def wavefront_trace_pallas3(
     S = int(tables.spheres.shape[0])
     M = int(tables.mats.shape[0])
     kernel = make_bounce_kernel3(S, M, shape, n_bounce, r_blk, exit_frac,
-                                 mat_classes)
+                                 mat_classes, has_mesh=has_mesh)
 
     width_i = jnp.asarray(width, jnp.int32)
     height_i = jnp.asarray(height, jnp.int32)
@@ -821,6 +933,18 @@ def wavefront_trace_pallas3(
         counters=jnp.zeros((N_COUNTERS, 2), jnp.uint32),
         launches=jnp.uint32(0),
     )
+    if has_mesh:
+        # mesh root AABB (padding chunk rows inherit real bounds —
+        # still a subset) + per-launch answer planes, all initially
+        # unanswered: every mesh-reaching lane blocks once in launch 0
+        box = jnp.concatenate([tri_flash.bounds[:, 0:3].min(axis=0),
+                               tri_flash.bounds[:, 3:6].max(axis=0)])
+        state["m"] = dict(
+            have=jnp.zeros(shape, jnp.int32),
+            t=jnp.full(shape, 3.4e38, jnp.float32),
+            nx=jnp.zeros(shape), ny=jnp.zeros(shape), nz=jnp.zeros(shape),
+            mid=jnp.zeros(shape, jnp.int32),
+        )
     if _DIAG:
         # [0]: total occupied texel slots over all launches (gather rows
         # actually needed); [1+k]: launches where slot k was occupied
@@ -845,16 +969,22 @@ def wavefront_trace_pallas3(
         # (it skip-advances in-kernel)
         return jnp.any(s["p"]["slot"] < n_slots_t)
 
+    n_local = N_LOCAL + (2 if has_mesh else 0)
+
     def body(s):
         args = [params, tables.cam, tables.spheres, tables.mats, base]
+        if has_mesh:
+            m = s["m"]
+            args += [box, m["have"], m["t"], m["nx"], m["ny"], m["nz"],
+                     m["mid"]]
         args += [s["p"][k] for k in KEYS]
         outs = kernel(*args)
         p = dict(zip(KEYS, outs[:N_STATE]))
-        ll = outs[N_STATE:N_STATE + N_LOCAL]
+        ll = outs[N_STATE:N_STATE + n_local]
         tmask_o = ll[0]
         tex_o = ll[1:1 + K_TEX]
-        recs_o = ll[1 + K_TEX:]
-        counts = outs[N_STATE + N_LOCAL]
+        recs_o = ll[1 + K_TEX:1 + K_TEX + 5 * M_REC]
+        counts = outs[N_STATE + n_local]
 
         # the one gather per launch resolves every outstanding texel
         # slot: thr multiplies the slots its mask references; records
@@ -1021,6 +1151,39 @@ def wavefront_trace_pallas3(
             )
         out = dict(p=p, ss=ss, counters=counters,
                    launches=s["launches"] + jnp.uint32(1))
+        if has_mesh:
+            # batch-resolve the blocked lanes' closest triangle: ONE
+            # flash RL call over all lanes, running winner seeded with
+            # each requester's sphere-winner t (strict <, so the sphere
+            # keeps exact ties exactly like trace_closest); lanes that
+            # didn't request seed 0, making their chunk work lists
+            # empty. One attrs row gather per lane fetches the winner's
+            # unit normal + material id (render.py flash-attrs path).
+            from zraytrace_tpu.ops.flash_intersect import (
+                flash_intersect_triangles,
+            )
+
+            mreq_o = ll[1 + K_TEX + 5 * M_REC]
+            mtb_o = ll[2 + K_TEX + 5 * M_REC]
+            req = mreq_o.reshape(-1) > 0
+            o3 = jnp.stack([p["ox"].reshape(-1), p["oy"].reshape(-1),
+                            p["oz"].reshape(-1)], axis=-1)
+            d3 = jnp.stack([p["dx"].reshape(-1), p["dy"].reshape(-1),
+                            p["dz"].reshape(-1)], axis=-1)
+            seed_t = jnp.where(req, mtb_o.reshape(-1), jnp.float32(0.0))
+            tt, tidx, thit, _ = flash_intersect_triangles(
+                tri_flash, o3, d3, jnp.float32(1e-3), t_init=seed_t)
+            at = tri_flash.attrs[tidx]
+            win = thit & req
+            out["m"] = dict(
+                have=mreq_o,
+                t=jnp.where(win, tt, 3.4e38).reshape(shape),
+                nx=jnp.where(win, at[:, 0], 0.0).reshape(shape),
+                ny=jnp.where(win, at[:, 1], 0.0).reshape(shape),
+                nz=jnp.where(win, at[:, 2], 0.0).reshape(shape),
+                mid=jnp.where(win, at[:, 3], 0.0)
+                    .astype(jnp.int32).reshape(shape),
+            )
         if _DIAG:
             diag = s["diag"]
             miss = s["misses"]

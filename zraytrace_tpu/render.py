@@ -520,6 +520,24 @@ def pallas_wanted(params: RenderParams, scene: Scene, n_pixels: int) -> bool:
             and n_pixels < (1 << 22))
 
 
+def mesh_pallas_wanted(params: RenderParams, scene: Scene,
+                       n_pixels: int) -> bool:
+    """Resolve the ``pallas_mesh`` policy (config.py): route a MIXED
+    scene (spheres + const-material mesh) through the bounce megakernel
+    with the deferred mesh-hit stall (ops/bounce_kernel3 docstring).
+    Auto is currently OFF pending hardware measurement; True forces it
+    (interpret mode on CPU — tests)."""
+    from zraytrace_tpu.scene import mesh_materials_const
+
+    if params.pallas_mesh is None:
+        want = False  # flip to TPU-auto once measured faster on-chip
+    else:
+        want = params.pallas_mesh
+    return (want and scene.n_triangles > 0 and scene.n_spheres > 0
+            and mesh_materials_const(scene)
+            and n_pixels < (1 << 22))
+
+
 def pallas_r_blk(n_lanes: int, r_blk: int) -> int:
     """Largest megakernel grid-block row count <= ``r_blk`` that divides
     the wavefront's lane rows (rows = n_lanes // 128) AND satisfies
@@ -585,8 +603,9 @@ def render(scene: Scene, camera: cam.Camera, params: RenderParams):
     # ray blocks are coherent enough for chunk culling to bite.
     tri_flash = None
     tile_coherent = False
+    mesh_pallas = mesh_pallas_wanted(params, scene, n_pixels)
     if (tri_bvh is None and scene.n_triangles > 0
-            and jax.default_backend() == "tpu"):
+            and (jax.default_backend() == "tpu" or mesh_pallas)):
         from zraytrace_tpu.geometry.bvh import build_tri_bvh
         from zraytrace_tpu.ops.flash_intersect import pack_tri_planes
 
@@ -598,14 +617,22 @@ def render(scene: Scene, camera: cam.Camera, params: RenderParams):
             scene.tri_a, scene.tri_b, scene.tri_c, order=order,
             tri_mat=scene.tri_mat,
             const_materials=mesh_materials_const(scene))
-        tile_coherent = True
-        padded = (-(-w // TILE_W)) * (-(-h // TILE_H)) * 512
-        n_lanes = min(padded, -(-n_lanes // 512) * 512)
-        n_slots = math.ceil(padded / n_lanes)
+        if not mesh_pallas:
+            # XLA wavefront path: tile-coherent lanes so the flash
+            # kernel's per-block chunk culling bites. The megakernel
+            # path keeps the contiguous mapping (its rotated-base
+            # interleave needs it; blocked-lane bounce rays are
+            # incoherent anyway).
+            tile_coherent = True
+            padded = (-(-w // TILE_W)) * (-(-h // TILE_H)) * 512
+            n_lanes = min(padded, -(-n_lanes // 512) * 512)
+            n_slots = math.ceil(padded / n_lanes)
+    mesh_pallas = mesh_pallas and tri_flash is not None \
+        and tri_flash.attrs is not None
 
     stats = RenderStats(pixels=n_pixels)
     t1 = time.perf_counter()
-    want_pallas = pallas_wanted(params, scene, n_pixels)
+    want_pallas = pallas_wanted(params, scene, n_pixels) or mesh_pallas
     # Megakernel sweet spot: narrower lanes, more slots (config.py).
     # Any cap value works — it rounds down to the kernel's 256-lane grain.
     pl_cap = params.pallas_max_wavefront // 256 * 256
@@ -633,6 +660,7 @@ def render(scene: Scene, camera: cam.Camera, params: RenderParams):
             r_blk=pallas_r_blk(n_lanes, params.pallas_r_blk),
             sample_groups=max(1, min(params.pallas_sample_groups, spp)),
             mat_classes=material_classes(scene),
+            tri_flash=tri_flash if mesh_pallas else None,
         )
     else:
         xg = max(1, min(params.wavefront_sample_groups, spp))
