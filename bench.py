@@ -47,7 +47,7 @@ def main() -> int:
     # (ops/bounce_kernel3), 2 = round-2 dual-path stall kernel.
     kern = os.environ.get("ZRAYTRACE_BENCH_KERNEL", "3")
     if kern == "2":
-        from zraytrace_tpu.ops.bounce_kernel2 import (
+        from zraytrace_tpu.legacy.bounce_kernel2 import (
             _wavefront_pallas2_jit as _pallas_jit,
         )
         pallas_kwargs = {}

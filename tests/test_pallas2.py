@@ -8,8 +8,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from zraytrace_tpu.ops.bounce_kernel import wavefront_trace_pallas
-from zraytrace_tpu.ops.bounce_kernel2 import wavefront_trace_pallas2
+from zraytrace_tpu.legacy.bounce_kernel2 import wavefront_trace_pallas2
 from zraytrace_tpu.render import wavefront_trace
 from zraytrace_tpu.scenes import three_balls
 
@@ -44,16 +43,6 @@ def test_kernel2_counters_match_xla():
     # same events; slot 5 (iterations) legitimately differs (B per launch)
     np.testing.assert_array_equal(cx[:5], cp[:5])
     _assert_images_close(sx, sp)
-
-
-def test_kernel2_bitexact_vs_kernel1():
-    built = three_balls()
-    base = jnp.arange(256, dtype=jnp.int32)
-    args = (built.scene, built.camera, base, 42, 16, 16, 2, 6, 0, 1, 256, 256)
-    s1, c1 = wavefront_trace_pallas(*args)
-    s2, c2 = wavefront_trace_pallas2(*args, n_bounce=4)
-    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
-    np.testing.assert_array_equal(np.asarray(c1)[:5], np.asarray(c2)[:5])
 
 
 def test_kernel2_multi_slot_and_B():

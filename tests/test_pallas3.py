@@ -10,7 +10,7 @@ inherits the polynomial-atan2 texel-flip tolerance."""
 import jax.numpy as jnp
 import numpy as np
 
-from zraytrace_tpu.ops.bounce_kernel2 import wavefront_trace_pallas2
+from zraytrace_tpu.legacy.bounce_kernel2 import wavefront_trace_pallas2
 from zraytrace_tpu.ops.bounce_kernel3 import wavefront_trace_pallas3
 from zraytrace_tpu.render import wavefront_trace
 from zraytrace_tpu.scenes import three_balls

@@ -24,7 +24,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from zraytrace_tpu import rng as zrng
-from zraytrace_tpu.ops.bounce_kernel import (
+from zraytrace_tpu.ops.common import (
     _acos, _atan2, _dot, _normalize, _uniform4, prepare_tables,
 )
 from zraytrace_tpu.scenes import three_balls

@@ -33,7 +33,7 @@ N_LANES = int(os.environ.get("ZRAYTRACE_PROBE_LANES", str(1 << 17)))
 
 
 def main():
-    from zraytrace_tpu.ops.bounce_kernel2 import _wavefront_pallas2_jit
+    from zraytrace_tpu.legacy.bounce_kernel2 import _wavefront_pallas2_jit
 
     combos = []
     for a in sys.argv[1:]:

@@ -44,7 +44,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from zraytrace_tpu import rng as zrng
 from zraytrace_tpu import scene as sc
-from zraytrace_tpu.ops.bounce_kernel import (
+from zraytrace_tpu.ops.common import (
     LANE,
     P_ATLASW, P_HEIGHT, P_MAXDEPTH, P_NPIX, P_NSLOTS, P_SEED, P_SEND,
     P_SSTART, P_STRIDE, P_WIDTH,
