@@ -125,6 +125,32 @@ def main() -> int:
     use_pallas = (scene.n_triangles == 0 and n_lanes % 256 == 0
                   and os.environ.get("ZRAYTRACE_BENCH_PALLAS", "1") == "1")
 
+    # Profile-balanced lane map (balance.py): a short identity-map G=1
+    # calibration render measures per-column texel-miss costs, and the
+    # greedy orbit partition flattens the per-lane miss maximum that
+    # pins the launch count (the gather conservation law, PERF.md).
+    # Calibration is scene preprocessing (like the BVH build) and runs
+    # before the timed loop; its wall time is printed for the record.
+    if (use_pallas and kern != "2"
+            and os.environ.get("ZRAYTRACE_BENCH_BALANCE", "0") == "1"):
+        from zraytrace_tpu.balance import balanced_pixel_base
+
+        calib_spp = int(os.environ.get("ZRAYTRACE_BENCH_CALIB_SPP", "32"))
+        t_cal = time.time()
+        perm, bstats = balanced_pixel_base(
+            scene, camera, size, size, depth, n_lanes, n_slots,
+            pallas_kwargs["sample_groups"], calib_spp=calib_spp,
+            n_bounce=pallas_kwargs["n_bounce"],
+            r_blk=pallas_kwargs["r_blk"],
+        )
+        ids = jnp.asarray(perm)
+        pallas_kwargs["permuted_base"] = True
+        print(f"# balance: calib_spp={calib_spp} "
+              f"calib_wall={time.time() - t_cal:.1f}s "
+              f"max/mean {bstats['max_over_mean_before']:.3f} -> "
+              f"{bstats['max_over_mean_after']:.3f} "
+              f"calib_misses={bstats['total_misses']}", file=sys.stderr)
+
     n_launches = [0]
     miss_planes = []
 

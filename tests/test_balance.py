@@ -1,0 +1,99 @@
+"""Profile-balanced lane assignment (balance.py + permuted_base).
+
+The balanced map moves pixel windows between lanes; it must never move
+EVENTS: counters stay bit-exact vs the XLA wavefront, and the
+unscrambled image equals the identity-map image up to float summation
+order."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from zraytrace_tpu.balance import balance_perm, orbit_sums
+from zraytrace_tpu.ops.bounce_kernel3 import wavefront_trace_pallas3
+from zraytrace_tpu.render import wavefront_trace
+from zraytrace_tpu.scenes import three_balls
+
+W, H, SPP, DEPTH = 16, 32, 4, 6
+N, SLOTS, G = 256, 2, 2
+
+
+def _unscramble(sums, base, n_pixels):
+    """(slots, N, 3) lane sums -> (n_pixels, 3): lane l of stripe p is
+    pixel base[l] + p*N."""
+    s = np.asarray(sums)
+    base = np.asarray(base)
+    out = np.zeros((n_pixels, 3), s.dtype)
+    for p in range(s.shape[0]):
+        pix = base + p * base.shape[0]
+        ok = pix < n_pixels
+        out[pix[ok]] = s[p][ok]
+    return out
+
+
+def test_balance_perm_is_balanced_permutation():
+    rng = np.random.default_rng(0)
+    cost = rng.exponential(10.0, size=N)
+    g = 8  # the production interleave depth: bins of 8 columns
+    perm = balance_perm(cost, g)
+    assert sorted(perm.tolist()) == list(range(N))
+    t_new = orbit_sums(cost, perm, g)
+    t_old = orbit_sums(cost, np.arange(N, dtype=np.int32), g)
+    assert t_new.max() / t_new.mean() < t_old.max() / t_old.mean()
+    # greedy largest-first with 8 items per bin lands near-perfect
+    assert t_new.max() / t_new.mean() < 1.05
+
+
+def test_permuted_base_counters_bitexact_and_image_matches():
+    built = three_balls()
+    base_id = jnp.arange(N, dtype=jnp.int32)
+    sums_x, cnt_x = wavefront_trace(
+        built.scene, built.camera, base_id, 42, W, H, SPP, DEPTH,
+        0, None, N, W * H, SLOTS,
+    )
+    img_x = _unscramble(sums_x, base_id, W * H)
+
+    rng = np.random.default_rng(1)
+    perm = jnp.asarray(rng.permutation(N).astype(np.int32))
+    sums_p, cnt_p = wavefront_trace_pallas3(
+        built.scene, built.camera, perm, 42, W, H, SPP, DEPTH,
+        0, SLOTS, N, W * H, n_bounce=6, sample_groups=G,
+        permuted_base=True,
+    )
+    img_p = _unscramble(sums_p, perm, W * H)
+
+    np.testing.assert_array_equal(np.asarray(cnt_x)[:5],
+                                  np.asarray(cnt_p)[:5])
+    diff = np.abs(img_x - img_p)
+    assert (diff > 1e-4).mean() < 0.05, diff.max()
+    assert np.median(diff) < 1e-5
+
+
+def test_permuted_identity_matches_analytic_interleave():
+    """perm = arange must reproduce the analytic rotated-base schedule
+    exactly (same windows on the same lanes -> bit-identical sums)."""
+    built = three_balls()
+    base_id = jnp.arange(N, dtype=jnp.int32)
+    common = (built.scene, built.camera, base_id, 42, W, H, SPP, DEPTH,
+              0, SLOTS, N, W * H)
+    s_a, c_a = wavefront_trace_pallas3(
+        *common, n_bounce=6, sample_groups=G)
+    s_p, c_p = wavefront_trace_pallas3(
+        *common, n_bounce=6, sample_groups=G, permuted_base=True)
+    np.testing.assert_array_equal(np.asarray(c_a), np.asarray(c_p))
+    np.testing.assert_array_equal(np.asarray(s_a), np.asarray(s_p))
+
+
+def test_return_misses_counts_texel_slots():
+    built = three_balls()
+    base_id = jnp.arange(N, dtype=jnp.int32)
+    out = wavefront_trace_pallas3(
+        built.scene, built.camera, base_id, 42, W, H, SPP, DEPTH,
+        0, SLOTS, N, W * H, n_bounce=6, sample_groups=1,
+        return_misses=True,
+    )
+    assert len(out) == 3
+    misses = np.asarray(out[2])
+    assert misses.shape == (N,)
+    assert misses.min() >= 0
+    # the textured spheres are visible: someone must miss
+    assert misses.sum() > 0

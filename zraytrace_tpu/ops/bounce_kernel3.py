@@ -187,7 +187,7 @@ N_LOCAL = 1 + K_TEX + 5 * M_REC
 def make_bounce_kernel3(n_spheres: int, n_mats: int, shape,
                         n_bounce: int, r_blk: int = R_BLK,
                         exit_frac: tuple = (3, 5), mat_classes=None,
-                        has_mesh: bool = False):
+                        has_mesh: bool = False, n_gb: int = 0):
     """Build the pallas_call: up to ``n_bounce`` wavefront iterations
     over ``(R, 128)`` single-path lane state, gridded in ``r_blk``-row
     blocks. Sphere and material counts are static (unrolled
@@ -219,7 +219,8 @@ def make_bounce_kernel3(n_spheres: int, n_mats: int, shape,
     blk = (R, L)
     exit_num, exit_den = exit_frac
     # carry layout offsets (after the leading iteration counter)
-    Q_CACHE = 1 + 18
+    Q_GB = 1 + 18               # n_gb future group-base planes
+    Q_CACHE = Q_GB + n_gb
     Q_LOCAL = Q_CACHE + 4 * N_CTOT          # tmask
     Q_TEX = Q_LOCAL + 1                      # K_TEX slot indices
     Q_REC = Q_TEX + K_TEX                    # M_REC x (r, g, b, slot, mask)
@@ -230,6 +231,8 @@ def make_bounce_kernel3(n_spheres: int, n_mats: int, shape,
     Q_MESH = Q_BLOCKED + 1
     Q_COUNT = Q_MESH + (3 if has_mesh else 0)
 
+    n_state = N_STATE + n_gb
+
     def kernel(*refs):
         (params_ref, cam_ref, sph_ref, mat_ref, base_ref) = refs[:5]
         k0 = 5
@@ -237,12 +240,12 @@ def make_bounce_kernel3(n_spheres: int, n_mats: int, shape,
             (box_ref, mh_ref, mta_ref, mnx_ref, mny_ref, mnz_ref,
              mmid_ref) = refs[5:12]
             k0 = 12
-        state_in = refs[k0:k0 + N_STATE]
-        outs = refs[k0 + N_STATE:]
+        state_in = refs[k0:k0 + n_state]
+        outs = refs[k0 + n_state:]
         n_local = N_LOCAL + (2 if has_mesh else 0)
-        state_out = outs[:N_STATE]
-        local_out = outs[N_STATE:N_STATE + n_local]
-        counts_o = outs[N_STATE + n_local]
+        state_out = outs[:n_state]
+        local_out = outs[n_state:n_state + n_local]
+        counts_o = outs[n_state + n_local]
 
         width = params_ref[P_WIDTH]
         height = params_ref[P_HEIGHT]
@@ -271,7 +274,8 @@ def make_bounce_kernel3(n_spheres: int, n_mats: int, shape,
         def iter_body(carry):
             (it,
              ox, oy, oz, dx, dy, dz, tr, tg, tb, ar, ag, ab,
-             dep, samp, slot, pidx, baseg, swin) = carry[:Q_CACHE]
+             dep, samp, slot, pidx, baseg, swin) = carry[:Q_GB]
+            gbs = carry[Q_GB:Q_CACHE]
             cache = carry[Q_CACHE:Q_LOCAL]
             tmask = carry[Q_LOCAL]
             texidx = carry[Q_TEX:Q_REC]
@@ -628,9 +632,17 @@ def make_bounce_kernel3(n_spheres: int, n_mats: int, shape,
             pidx2 = pidx + fin_i
             wrapm = adv & (pidx2 >= n_stripes)
             pidx2 = jnp.where(wrapm, 0, pidx2)
-            baseg2 = jnp.where(wrapm, baseg + g_shift, baseg)
-            baseg2 = jnp.where(baseg2 - base_lo >= n_lanes_t,
-                               baseg2 - n_lanes_t, baseg2)
+            if n_gb:
+                # balanced map: the next group's base was precomputed
+                # on the host; shift the future-base FIFO down
+                baseg2 = jnp.where(wrapm, gbs[0], baseg)
+                gbs2 = [jnp.where(wrapm, gbs[k + 1], gbs[k])
+                        for k in range(n_gb - 1)] + [gbs[-1]]
+            else:
+                gbs2 = []
+                baseg2 = jnp.where(wrapm, baseg + g_shift, baseg)
+                baseg2 = jnp.where(baseg2 - base_lo >= n_lanes_t,
+                                   baseg2 - n_lanes_t, baseg2)
             swin2 = jnp.where(wrapm, swin + gspp, swin)
             samp2 = jnp.where(adv, swin2, samp2)
 
@@ -685,7 +697,8 @@ def make_bounce_kernel3(n_spheres: int, n_mats: int, shape,
                 up(ar, ar2), up(ag, ag2), up(ab, ab2),
                 up(dep, dep2), up(samp, samp2), up(slot, slot2),
                 up(pidx, pidx2), up(baseg, baseg2), up(swin, swin2),
-            ) + tuple(cache) + (
+            ) + tuple(up(o, v) for o, v in zip(gbs, gbs2)) \
+              + tuple(cache) + (
                 up(tmask, tmask2),
             ) + tuple(up(o, n) for o, n in zip(texidx, texidx2)) \
               + tuple(up(o, n) for o, n in zip(recs, recs2)) + (
@@ -732,7 +745,7 @@ def make_bounce_kernel3(n_spheres: int, n_mats: int, shape,
             + (zero,) * 6
         fin = jax.lax.while_loop(cond, iter_body, init)
         it_done = fin[0]
-        for r, v in zip(state_out, fin[1:1 + N_STATE]):
+        for r, v in zip(state_out, fin[1:1 + n_state]):
             r[:] = v
         local_vals = list(fin[Q_LOCAL:Q_BLOCKED])
         if has_mesh:  # m_req, m_tbest ride after the shared locals
@@ -759,7 +772,7 @@ def make_bounce_kernel3(n_spheres: int, n_mats: int, shape,
     # i32 + cache (idx i32 + rgb f32) x N_CACHE; then launch-local
     # tmask i32 + texidx i32 x K_TEX + (rgb f32, slot i32, mask i32)
     # x M_REC; counters
-    state_dts = ([st(f32)] * 12 + [st(i32)] * 6
+    state_dts = ([st(f32)] * 12 + [st(i32)] * (6 + n_gb)
                  + [st(i32), st(f32), st(f32), st(f32)] * N_CTOT)
     local_dts = ([st(i32)] + [st(i32)] * K_TEX
                  + [st(f32), st(f32), st(f32), st(i32), st(i32)] * M_REC)
@@ -776,9 +789,9 @@ def make_bounce_kernel3(n_spheres: int, n_mats: int, shape,
     # per-lane answer planes (m_have, m_t, m_nx, m_ny, m_nz, m_mid)
     mesh_in = ([smem()] + [lane_blk()] * 6) if has_mesh else []
     in_specs = [smem()] * 4 + [lane_blk()] + mesh_in \
-        + [lane_blk()] * N_STATE
+        + [lane_blk()] * n_state
     out_specs = tuple(
-        [lane_blk()] * (N_STATE + len(local_dts))
+        [lane_blk()] * (n_state + len(local_dts))
         + [pl.BlockSpec(memory_space=pltpu.SMEM)]
     )
     st0 = 5 + (7 if has_mesh else 0)  # first state-plane input index
@@ -791,7 +804,7 @@ def make_bounce_kernel3(n_spheres: int, n_mats: int, shape,
         # state planes update in place: input st0+k donates its buffer
         # to output k
         input_output_aliases=(
-            {st0 + k: k for k in range(N_STATE)} if _ALIAS else {}),
+            {st0 + k: k for k in range(n_state)} if _ALIAS else {}),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         interpret=_interpret_mode(),
     )
@@ -826,6 +839,8 @@ def wavefront_trace_pallas3(
     sample_groups: int = 1,
     mat_classes=None,
     tri_flash=None,
+    permuted_base: bool = False,
+    return_misses: bool = False,
 ):
     """Same contract as render.wavefront_trace (sphere-only scenes):
     lane ``i`` of ``pixel_base`` traces pixels ``base[i] + k*stride``.
@@ -848,7 +863,24 @@ def wavefront_trace_pallas3(
     (non-requesting lanes seed 0, so their chunk work lists are empty).
     Counters stay bit-exact vs the XLA mesh wavefront (same intersect
     values through the same flash kernel; blocking changes timing,
-    never events)."""
+    never events).
+
+    ``n_gb`` in the kernel builder / ``permuted_base`` here enable the
+    PROFILE-BALANCED lane map (balance.py): ``pixel_base`` may be any
+    permutation of ``[0, N)`` — group g's base for lane i becomes
+    ``pixel_base[(i + g*shift) mod N]`` (the analytic identity map is
+    the special case perm = arange). The G-1 future group bases ride as
+    extra persistent planes and FIFO-shift on window wrap, so the hot
+    loop never needs a table lookup; the roll-fold below is unchanged
+    because the group rotation still happens in LANE space. Purpose:
+    the per-launch atlas gather is pinned by the heaviest lane's texel
+    -miss total (the conservation law, PERF.md); assigning pixel
+    columns to lane orbits by measured miss cost flattens that maximum
+    toward the mean. Counters stay bit-exact (windows keep their
+    (pixel, sample-range) identity; only which lane traces them moves).
+
+    ``return_misses`` appends a per-lane texel-slot-occupancy total
+    (the calibration signal for balance.py) to the return tuple."""
     from zraytrace_tpu import camera as cam_mod
     from zraytrace_tpu.render import N_COUNTERS, _u64_add
 
@@ -867,11 +899,14 @@ def wavefront_trace_pallas3(
     G = int(sample_groups)
     assert G >= 1
 
+    n_gb = G - 1 if (permuted_base and G > 1) else 0
+    n_state = N_STATE + n_gb
+
     tables = prepare_tables(scene, camera)
     S = int(tables.spheres.shape[0])
     M = int(tables.mats.shape[0])
     kernel = make_bounce_kernel3(S, M, shape, n_bounce, r_blk, exit_frac,
-                                 mat_classes, has_mesh=has_mesh)
+                                 mat_classes, has_mesh=has_mesh, n_gb=n_gb)
 
     width_i = jnp.asarray(width, jnp.int32)
     height_i = jnp.asarray(height, jnp.int32)
@@ -909,7 +944,7 @@ def wavefront_trace_pallas3(
     r2 = lambda x: x.reshape(shape)
     KEYS = ("ox", "oy", "oz", "dx", "dy", "dz", "tr", "tg", "tb",
             "ar", "ag", "ab", "dep", "samp", "slot", "pidx", "baseg",
-            "swin") + tuple(
+            "swin") + tuple(f"gb{k}" for k in range(1, n_gb + 1)) + tuple(
         f"c{k}{f}" for k in range(N_CTOT) for f in ("idx", "r", "g", "b"))
     base = pixel_base.reshape(shape)
     n_slots_t = n_slots * G
@@ -925,6 +960,10 @@ def wavefront_trace_pallas3(
             pidx=jnp.zeros(shape, jnp.int32),
             baseg=base,
             swin=jnp.full(shape, sstart_i, jnp.int32),
+            # balanced map: group g's base for lane i is
+            # pixel_base[(i + g*shift) mod n] = roll(pixel_base, -g*s)
+            **{f"gb{k}": r2(jnp.roll(pixel_base, -k * (n // G)))
+               for k in range(1, n_gb + 1)},
             **{f"c{k}{f}": (jnp.full(shape, -1, jnp.int32) if f == "idx"
                             else jnp.zeros(shape))
                for k in range(N_CTOT) for f in ("idx", "r", "g", "b")},
@@ -950,9 +989,11 @@ def wavefront_trace_pallas3(
         # actually needed); [1+k]: launches where slot k was occupied
         # anywhere (cond-gated gathers actually executed).
         state["diag"] = jnp.zeros((1 + K_TEX,), jnp.uint32)
+    if _DIAG or return_misses:
         # per-lane cache-miss totals: launch count is pinned by the
         # heaviest lane's miss count / K_TEX — max/mean is the
-        # imbalance factor the stripe mapping could still recover.
+        # imbalance factor; balance.py feeds these back as the
+        # profile-balanced lane map's cost signal.
         state["misses"] = jnp.zeros(shape, jnp.int32)
     # The per-launch texel resolve is the wall (measured 65% of bench
     # wall at 11.8 ns/row for the naive 2D-indexed (F, 3) f32 gather).
@@ -979,12 +1020,12 @@ def wavefront_trace_pallas3(
                      m["mid"]]
         args += [s["p"][k] for k in KEYS]
         outs = kernel(*args)
-        p = dict(zip(KEYS, outs[:N_STATE]))
-        ll = outs[N_STATE:N_STATE + n_local]
+        p = dict(zip(KEYS, outs[:n_state]))
+        ll = outs[n_state:n_state + n_local]
         tmask_o = ll[0]
         tex_o = ll[1:1 + K_TEX]
         recs_o = ll[1 + K_TEX:1 + K_TEX + 5 * M_REC]
-        counts = outs[N_STATE + n_local]
+        counts = outs[n_state + n_local]
 
         # the one gather per launch resolves every outstanding texel
         # slot: thr multiplies the slots its mask references; records
@@ -1186,13 +1227,15 @@ def wavefront_trace_pallas3(
             )
         if _DIAG:
             diag = s["diag"]
-            miss = s["misses"]
             for k in range(K_TEX):
                 occ_k = jnp.sum((tex_o[k] >= 0).astype(jnp.uint32))
                 diag = diag.at[0].add(occ_k)
                 diag = diag.at[1 + k].add((occ_k > 0).astype(jnp.uint32))
-                miss = miss + (tex_o[k] >= 0).astype(jnp.int32)
             out["diag"] = diag
+        if _DIAG or return_misses:
+            miss = s["misses"]
+            for k in range(K_TEX):
+                miss = miss + (tex_o[k] >= 0).astype(jnp.int32)
             out["misses"] = miss
         return out
 
@@ -1200,16 +1243,21 @@ def wavefront_trace_pallas3(
     # (3*n_slots, R, 128) -> (n_slots, N, 3); already in the caller's
     # pixel mapping (group rolls happen per launch)
     sums = jnp.transpose(final["ss"].reshape(n_slots, 3, n), (0, 2, 1))
+    extra = ()
     if return_launches:
+        extra = (final["launches"],)
         if _DIAG:
-            return (sums, final["counters"], final["launches"],
-                    final["diag"], final["misses"])
-        return sums, final["counters"], final["launches"]
+            extra = extra + (final["diag"], final["misses"])
+    if return_misses:
+        extra = extra + (final["misses"].reshape(-1),)
+    if extra:
+        return (sums, final["counters"]) + extra
     return sums, final["counters"]
 
 
 _wavefront_pallas3_jit = jax.jit(
     wavefront_trace_pallas3,
     static_argnames=("n_slots", "n_bounce", "r_blk", "exit_frac",
-                     "return_launches", "sample_groups", "mat_classes"),
+                     "return_launches", "sample_groups", "mat_classes",
+                     "permuted_base", "return_misses"),
 )
