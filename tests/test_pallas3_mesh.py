@@ -131,7 +131,9 @@ def test_render_routes_mesh_pallas():
                        pallas_max_wavefront=256, pallas_sample_groups=2,
                        pallas_bounces=8)
     assert mesh_pallas_wanted(p_m, scene, 256)
-    assert not mesh_pallas_wanted(p_x, scene, 256)  # auto off (None)
+    # auto (None) resolves by backend: off on CPU, on for a real TPU
+    # (hardware-measured, render.mesh_pallas_wanted docstring)
+    assert not mesh_pallas_wanted(p_x, scene, 256)
     img_x, st_x = render(scene, cam_, p_x)
     img_m, st_m = render(scene, cam_, p_m)
     for f in ("rays", "reflections", "background_hits",
@@ -145,9 +147,11 @@ def test_render_routes_mesh_pallas():
 
 
 def test_sphere_only_kernel_unchanged():
-    """has_mesh=False builds the exact pre-mesh program: the sphere-only
-    scene traced with and without the mesh feature present in the build
-    must agree bitwise (guards the official bench engine)."""
+    """The sphere-only (has_mesh=False) program is pinned to a golden
+    capture recorded before the mesh feature landed: counters exactly,
+    sums by f64 total (interpret mode is deterministic). Guards the
+    official bench engine against regressions from mesh-feature (or
+    any other) kernel3 changes."""
     b = SceneBuilder()
     b.add_sphere((0.0, -100.5, -1.0), 100.0,
                  b.add_lambertian_color((0.5, 0.5, 0.5)))
@@ -156,8 +160,13 @@ def test_sphere_only_kernel_unchanged():
     base = jnp.arange(256, dtype=jnp.int32)
     s1, c1 = wavefront_trace_pallas3(scene, _camera(), base, 42, 16, 16,
                                      2, 6, 0, 1, 256, 256, n_bounce=6)
-    s2, c2 = wavefront_trace_pallas3(scene, _camera(), base, 42, 16, 16,
-                                     2, 6, 0, 1, 256, 256, n_bounce=6,
-                                     tri_flash=None)
-    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
-    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+    golden_counters = [[0, 868], [0, 359], [0, 509], [0, 3], [0, 512],
+                       [0, 12]]
+    np.testing.assert_array_equal(np.asarray(c1), golden_counters)
+    s = np.asarray(s1)
+    # f32 image total drifts ~1e-8 relative with XLA:CPU device count
+    # (fusion reassociation); a real kernel regression moves it orders
+    # of magnitude more
+    np.testing.assert_allclose(s.astype(np.float64).sum(),
+                               869.3695678710938, rtol=1e-6)
+    assert float(np.abs(s).max()) == 2.0

@@ -72,9 +72,11 @@ class RenderParams:
     # mesh root AABB block in-kernel and are batch-resolved with one
     # flash call per launch; everything else bounces at megakernel
     # speed. Requires const-color triangle materials (true for every
-    # reference scene). None = auto (on for mixed scenes on a real
-    # TPU); True forces it (CPU interpret mode: tests); False keeps
-    # the XLA wavefront + per-bounce flash path.
+    # reference scene). None = auto: ON for mixed scenes on a real TPU
+    # — hardware-measured 1.1-3.8x faster than the XLA wavefront on
+    # every mixed reference scene (tools/mesh_pallas_probe.py,
+    # render.mesh_pallas_wanted). True forces it (CPU interpret mode:
+    # tests); False keeps the XLA wavefront + per-bounce flash path.
     pallas_mesh: bool | None = None
     # Sample-interleave for the XLA wavefront (mesh scenes): same
     # rotated-base schedule, implemented in the XLA loop. Spreads heavy

@@ -525,12 +525,18 @@ def mesh_pallas_wanted(params: RenderParams, scene: Scene,
     """Resolve the ``pallas_mesh`` policy (config.py): route a MIXED
     scene (spheres + const-material mesh) through the bounce megakernel
     with the deferred mesh-hit stall (ops/bounce_kernel3 docstring).
-    Auto is currently OFF pending hardware measurement; True forces it
-    (interpret mode on CPU — tests)."""
+
+    Auto = ON for a real TPU: hardware-measured faster than the XLA
+    wavefront + per-bounce flash path on every mixed reference scene at
+    700x700x100spp d20 — scene 0 65.9M vs 17.2M, scene 2 24.0M vs
+    21.0M, scene 3 9.3M vs 8.5M, scene 4 9.7M vs 6.9M rays/s
+    (tools/mesh_pallas_probe.py, 2026-08-19; PERF.md round 3). True
+    forces it (interpret mode on CPU — tests); False keeps the XLA
+    path."""
     from zraytrace_tpu.scene import mesh_materials_const
 
     if params.pallas_mesh is None:
-        want = False  # flip to TPU-auto once measured faster on-chip
+        want = jax.default_backend() == "tpu"
     else:
         want = params.pallas_mesh
     return (want and scene.n_triangles > 0 and scene.n_spheres > 0
