@@ -110,9 +110,7 @@ def test_sharded_render_multi_slot():
     assert st_sharded.rays == st_single.rays
 
 
-def test_sharded_render_mesh_scene_triangles():
-    """Triangle scenes route through the same intersection paths as
-    render() under shard_map."""
+def _mixed_scene():
     from zraytrace_tpu import scene as sc
     from zraytrace_tpu.camera import make_camera
     from zraytrace_tpu.scene import SceneBuilder
@@ -125,15 +123,102 @@ def test_sharded_render_mesh_scene_triangles():
         [[[-1.0, 0.0, 4.0], [1.0, 0.0, 4.0], [0.0, 1.5, 4.5]],
          [[1.5, 0.0, 5.0], [3.0, 0.0, 5.0], [2.2, 1.0, 5.5]]], np.float32)
     b.add_triangles(tris[:, 0], tris[:, 1], tris[:, 2], metal)
-    scene = b.build()
     camera = make_camera((0.0, 0.0, -2.0), (0.0, 0.0, 1.0), (0.0, 1.0, 0.0),
                          60.0, 1.0)
+    return b.build(), camera
+
+
+def test_sharded_render_mesh_scene_triangles():
+    """Triangle scenes route through the same intersection paths as
+    render() under shard_map."""
+    scene, camera = _mixed_scene()
     mesh = make_mesh(n_data=8, n_sample=1)
     params = RenderParams(width=8, height=8, samples_per_pixel=2, max_depth=3)
     img_single, st_single = render(scene, camera, params)
     img_sharded, st_sharded = render_sharded(scene, camera, params, mesh)
     np.testing.assert_allclose(img_single, img_sharded, atol=1e-5)
     assert st_sharded.rays == st_single.rays
+
+
+def test_sharded_mesh_megakernel_matches_single_device():
+    """pallas_mesh routes the sharded mixed scene through the deferred
+    -mesh-hit megakernel (per shard, interpret mode) and matches the
+    single-device megakernel render (ADVICE round 2: the knob used to
+    be silently ignored by render_sharded)."""
+    scene, camera = _mixed_scene()
+    mesh = make_mesh(n_data=2, n_sample=1, devices=jax.devices()[:2])
+    params = RenderParams(width=16, height=16, samples_per_pixel=2,
+                          max_depth=3, pallas_mesh=True, pallas_bounces=6,
+                          pallas_sample_groups=2)
+    img_single, st_single = render(scene, camera, params)
+    img_sharded, st_sharded = render_sharded(scene, camera, params, mesh)
+    assert st_sharded.rays == st_single.rays
+    assert st_sharded.samples == st_single.samples
+    diff = np.abs(img_single - img_sharded)
+    assert np.median(diff) < 1e-5
+
+
+class _JaxShim:
+    """Delegates to real jax but reports a TPU backend — lets CPU tests
+    drive parallel/mesh.py's TPU-only routing (the flash/tile path)."""
+
+    def __init__(self, real):
+        self._real = real
+
+    def default_backend(self):
+        return "tpu"
+
+    def __getattr__(self, name):
+        return getattr(self._real, name)
+
+
+def test_sharded_mesh_fallback_receives_tuned_knobs(monkeypatch):
+    """Regression (VERDICT round 2 item 3): the sharded XLA mesh path
+    once packed flash chunks with no BVH order and called
+    wavefront_trace without tile_coherent/sample_groups — spatially
+    loose chunks + incoherent ray blocks, the exact 2-8x regressions in
+    PERF.md. Spy on both calls to pin the knob set, and check the
+    tile-coherent result still matches render()."""
+    import zraytrace_tpu.parallel.mesh as pm
+
+    monkeypatch.setattr(pm, "jax", _JaxShim(jax))
+
+    packed = {}
+    import zraytrace_tpu.ops.flash_intersect as fi
+
+    real_pack = fi.pack_tri_planes
+
+    def spy_pack(*a, **kw):
+        packed.update(kw)
+        return real_pack(*a, **kw)
+
+    monkeypatch.setattr(fi, "pack_tri_planes", spy_pack)
+
+    traced = {}
+    real_trace = pm.wavefront_trace
+
+    def spy_trace(*a, **kw):
+        traced.update(kw)
+        return real_trace(*a, **kw)
+
+    monkeypatch.setattr(pm, "wavefront_trace", spy_trace)
+
+    scene, camera = _mixed_scene()
+    mesh = make_mesh(n_data=2, n_sample=1, devices=jax.devices()[:2])
+    params = RenderParams(width=16, height=16, samples_per_pixel=4,
+                          max_depth=3, pallas_mesh=False,
+                          wavefront_sample_groups=2)
+    img_sharded, st_sharded = render_sharded(scene, camera, params, mesh)
+
+    assert packed.get("order") is not None, "flash chunks not BVH-ordered"
+    assert packed.get("const_materials") is True
+    assert traced.get("tile_coherent") is True
+    assert traced.get("sample_groups") == 2
+    assert traced.get("tri_flash") is not None
+
+    img_single, st_single = render(scene, camera, params)
+    assert st_sharded.rays == st_single.rays
+    np.testing.assert_allclose(img_single, img_sharded, atol=1e-5)
 
 
 def test_sharded_render_pallas_kernel():

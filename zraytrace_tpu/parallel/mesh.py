@@ -66,14 +66,21 @@ def shard_lanes(lanes: jnp.ndarray, mesh: Mesh):
 
 def _sharded_wavefront(mesh: Mesh, n_slots: int, use_pallas: bool,
                        n_bounce: int, r_blk: int = 32,
-                       sample_groups: int = 1, mat_classes=None):
+                       sample_groups: int = 1, mat_classes=None,
+                       mesh_pallas: bool = False,
+                       tile_coherent: bool = False,
+                       wavefront_groups: int = 1):
     """shard_map'd wavefront: each shard traces its lane slice (with
     strided multi-pixel slots, exactly like the single-chip engine) for
     its sample slice; pixel sums psum over the sample axis.
 
     ``tri_bvh`` / ``tri_flash`` route the same fast intersection paths as
     ``render()``; ``use_pallas`` routes sphere-only scenes through the
-    bounce megakernel per shard."""
+    bounce megakernel per shard, ``mesh_pallas`` mixed scenes through
+    the deferred-mesh-hit megakernel (render.mesh_pallas_wanted policy),
+    and the XLA mesh fallback gets the same tile-coherent lane map +
+    sample interleave as ``render()`` (the knob set whose absence cost
+    2-8x in PERF.md's measurements — VERDICT round 2 item 3)."""
 
     def fn(scene, camera, pixel_ids, seed, width, height, spp_local,
            max_depth, sample_starts, stride, n_pixels, tri_bvh, tri_flash):
@@ -89,6 +96,7 @@ def _sharded_wavefront(mesh: Mesh, n_slots: int, use_pallas: bool,
                 n_slots=n_slots, pixel_stride=stride, n_pixels=n_pixels,
                 n_bounce=n_bounce, r_blk=r_blk,
                 sample_groups=sample_groups, mat_classes=mat_classes,
+                tri_flash=tri_flash if mesh_pallas else None,
             )
         else:
             slot_sums, counters = wavefront_trace(
@@ -96,6 +104,8 @@ def _sharded_wavefront(mesh: Mesh, n_slots: int, use_pallas: bool,
                 spp_local, max_depth, sample_start=sample_starts[0],
                 tri_bvh=tri_bvh, tri_flash=tri_flash,
                 pixel_stride=stride, n_pixels=n_pixels, n_slots=n_slots,
+                tile_coherent=tile_coherent,
+                sample_groups=wavefront_groups,
             )
         sums = jax.lax.psum(slot_sums, SAMPLE_AXIS)
         return sums, counters[None]
@@ -149,21 +159,38 @@ def render_sharded(
     n_pixels = w * h
 
     t0 = time.perf_counter()
-    tri_bvh = maybe_build_bvh(scene, params)
-    tri_flash = None
-    if (tri_bvh is None and scene.n_triangles > 0
-            and jax.default_backend() == "tpu"):
-        from zraytrace_tpu.ops.flash_intersect import pack_tri_planes
+    from zraytrace_tpu.render import (
+        TILE_H, TILE_W, mesh_pallas_wanted, pallas_wanted,
+    )
 
+    tri_bvh = maybe_build_bvh(scene, params)
+    # Mesh routing mirrors render() exactly (the sharded path once
+    # dropped the BVH chunk order and tile-coherent knobs — the exact
+    # regressions measured at 2-8x in PERF.md; VERDICT round 2 item 3):
+    # BVH-leaf-ordered chunk packing + const-material attrs, deferred
+    # -mesh-hit megakernel on TPU (mesh_pallas_wanted), else the
+    # tile-coherent XLA wavefront with sample interleave.
+    tri_flash = None
+    tile_coherent = False
+    mesh_pallas = mesh_pallas_wanted(params, scene, n_pixels)
+    if (tri_bvh is None and scene.n_triangles > 0
+            and (jax.default_backend() == "tpu" or mesh_pallas)):
+        from zraytrace_tpu.geometry.bvh import build_tri_bvh
+        from zraytrace_tpu.ops.flash_intersect import pack_tri_planes
         from zraytrace_tpu.scene import mesh_materials_const
 
+        order = build_tri_bvh(scene.tri_a, scene.tri_b,
+                              scene.tri_c).prim_order
         tri_flash = pack_tri_planes(
-            scene.tri_a, scene.tri_b, scene.tri_c,
+            scene.tri_a, scene.tri_b, scene.tri_c, order=order,
             tri_mat=scene.tri_mat,
             const_materials=mesh_materials_const(scene))
-    from zraytrace_tpu.render import pallas_wanted
+        if not mesh_pallas:
+            tile_coherent = True
+    mesh_pallas = mesh_pallas and tri_flash is not None \
+        and tri_flash.attrs is not None
 
-    use_pallas = pallas_wanted(params, scene, n_pixels)
+    use_pallas = pallas_wanted(params, scene, n_pixels) or mesh_pallas
 
     # Shard-local lane-count granularity: flash kernel needs 512-ray
     # blocks, the megakernel 128-lane rows.
@@ -174,16 +201,25 @@ def render_sharded(
         # per-shard megakernel sweet spot (config.pallas_max_wavefront)
         n_lanes = min(n_lanes, params.pallas_max_wavefront * n_data)
     n_lanes = math.ceil(n_lanes / gran) * gran
-    n_slots = math.ceil(n_pixels / n_lanes)
+    if tile_coherent:
+        # lanes cover the padded tile grid; partial-tile positions map
+        # past n_pixels and idle (render.untile_pixels drops them)
+        padded = (-(-w // TILE_W)) * (-(-h // TILE_H)) * 512
+        padded = math.ceil(padded / gran) * gran
+        n_lanes = min(padded, n_lanes)
+        n_slots = math.ceil(padded / n_lanes)
+    else:
+        n_slots = math.ceil(n_pixels / n_lanes)
     ids = np.arange(n_lanes, dtype=np.int32)
-    if not use_pallas:
+    if not use_pallas and not tile_coherent:
         # Padding lanes get an id >= n_pixels: lane_alive() is false from
         # the start, so they stay idle and contribute nothing to image or
         # counters (re-tracing pixel 0 would over-report RenderStats).
         # The megakernel instead REQUIRES each shard's base to be a
         # contiguous range (its sample-interleave rotation wraps within
         # [lo, lo+n)); ids beyond n_pixels idle through the same
-        # pixel-validity check, so it keeps the raw arange.
+        # pixel-validity check, so it keeps the raw arange — as does the
+        # tile-coherent map (validity lives in the tile positions).
         ids[n_pixels:] = n_pixels
     sample_starts = jnp.arange(n_sample, dtype=jnp.int32) * spp_local
 
@@ -199,12 +235,16 @@ def render_sharded(
         from zraytrace_tpu.scene import material_classes
 
         mat_classes = material_classes(scene)
+    xg = (max(1, min(params.wavefront_sample_groups, spp_local))
+          if tile_coherent else 1)
     fn = _sharded_wavefront(
         mesh, n_slots, use_pallas, params.pallas_bounces,
         r_blk=(pallas_r_blk(n_lanes // n_data, params.pallas_r_blk)
                if use_pallas else 32),
         sample_groups=max(1, min(params.pallas_sample_groups, spp_local)),
         mat_classes=mat_classes,
+        mesh_pallas=mesh_pallas, tile_coherent=tile_coherent,
+        wavefront_groups=xg,
     )
     t1 = time.perf_counter()
     sums, counters = fn(
@@ -219,8 +259,30 @@ def render_sharded(
 
         sums = multihost_utils.process_allgather(sums, tiled=True)
         counters = multihost_utils.process_allgather(counters, tiled=True)
-    # pixel p lives at (slot p // n_lanes, lane p % n_lanes)
-    sums = np.asarray(sums).reshape(n_slots * n_lanes, 3)[:n_pixels]
+    s_np = np.asarray(sums)
+    if xg > 1:
+        # fold the interleaved group planes back per SHARD: group g of
+        # lane i (shard-local) traced position (i + g*shift_local) mod
+        # n_local (render() does the same fold globally)
+        from zraytrace_tpu.render import _interleave_shift
+
+        n_local = n_lanes // n_data
+        shift_local = _interleave_shift(n_local, xg, tile_coherent)
+        s4 = s_np.reshape(n_slots * xg, n_data, n_local, 3)
+        folded = np.zeros((n_slots, n_data, n_local, 3), s_np.dtype)
+        for g in range(xg):
+            for p in range(n_slots):
+                folded[p] += np.roll(s4[g * n_slots + p],
+                                     g * shift_local, axis=1)
+        s_np = folded.reshape(n_slots, n_lanes, 3)
+    sums = s_np.reshape(n_slots * n_lanes, 3)
+    if tile_coherent:
+        from zraytrace_tpu.render import untile_pixels
+
+        sums = untile_pixels(sums, w, h)
+    else:
+        # pixel p lives at (slot p // n_lanes, lane p % n_lanes)
+        sums = sums[:n_pixels]
     # (grid, 6, 2) two-limb uint32 -> per-shard ints -> totals (carries
     # cannot be summed limb-wise).
     c = np.asarray(counters).astype(np.uint64)

@@ -324,13 +324,19 @@ def wavefront_trace(
         ws = sample_start + g * gspp
         return ws, jnp.minimum(ws + gspp, sample_end)
 
+    # Interleave rotates lanes within THIS call's lane block: under
+    # shard_map each shard's pixel_base is the contiguous slice
+    # [lo, lo + n), so the rotation must wrap relative to lo (lo = 0 for
+    # the single-device arange — results bit-identical there).
+    base_lo = jnp.min(pixel_base) if G > 1 else jnp.int32(0)
+
     def lane_pixel(slot):
         if G > 1:
             g_grp = slot // n_slots
             p_str = slot - g_grp * n_slots
-            rot = pixel_base + g_grp * shift
+            rot = pixel_base - base_lo + g_grp * shift
             rot = jnp.where(rot >= n, rot - n, rot)
-            g = rot + p_str * pixel_stride
+            g = rot + base_lo + p_str * pixel_stride
         else:
             g = pixel_base + slot * pixel_stride
         if not tile_coherent:
