@@ -1,0 +1,62 @@
+"""Hardware check: sharded teapot == single-device teapot (1-chip mesh).
+
+VERDICT round-2 item 3 'done' criterion: sharded image/counters equal
+single device AND per-chip rate within ~10% of render() on the
+1-device mesh. Mirrors the sphere-scene check recorded in PERF.md
+(2026-08-18)."""
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from zraytrace_tpu.runtime import enable_compilation_cache
+
+enable_compilation_cache()
+
+import numpy as np
+
+from zraytrace_tpu.config import RenderParams
+from zraytrace_tpu.parallel.mesh import make_mesh, render_sharded
+from zraytrace_tpu.render import render
+from zraytrace_tpu.scenes import build_scene
+
+
+def main():
+    scene_idx = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    spp = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+    built = build_scene(scene_idx)
+    params = RenderParams(width=700, height=700, samples_per_pixel=spp,
+                          max_depth=20)
+    mesh = make_mesh(n_data=1, n_sample=1)
+
+    # warm both programs (spp traced: same program any spp)
+    warm = RenderParams(width=700, height=700, samples_per_pixel=2,
+                        max_depth=20)
+    render(built.scene, built.camera, warm)
+    render_sharded(built.scene, built.camera, warm, mesh)
+
+    t0 = time.time()
+    img_s, st_s = render(built.scene, built.camera, params)
+    t_single = time.time() - t0
+    t0 = time.time()
+    img_m, st_m = render_sharded(built.scene, built.camera, params, mesh)
+    t_shard = time.time() - t0
+
+    bit_identical = bool(np.array_equal(img_s, img_m))
+    print(f"scene={scene_idx} spp={spp} "
+          f"single: rays={st_s.rays} {st_s.rays/st_s.render_seconds:.3e} "
+          f"rays/s ({st_s.render_seconds:.2f}s) | "
+          f"sharded(1): rays={st_m.rays} "
+          f"{st_m.rays/st_m.render_seconds:.3e} rays/s "
+          f"({st_m.render_seconds:.2f}s)", flush=True)
+    print(f"image_bit_identical={bit_identical} "
+          f"max_diff={float(np.max(np.abs(img_s - img_m))):.2e} "
+          f"counters_equal="
+          f"{(st_s.rays, st_s.reflections, st_s.background_hits, st_s.recursion_depth_hits) == (st_m.rays, st_m.reflections, st_m.background_hits, st_m.recursion_depth_hits)} "
+          f"rate_ratio={st_m.rays / st_m.render_seconds / (st_s.rays / st_s.render_seconds):.3f}",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()

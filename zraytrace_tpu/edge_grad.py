@@ -28,8 +28,23 @@ sides, which is a consistent O(eps)-biased estimate of the boundary
 integral (the soft-rasterizer / relaxed-visibility construction).
 
 Occlusion boundaries between two overlapping primitives (t-crossings)
-are not modeled — their velocity requires the second-nearest hit and is
-a much smaller term in the reference scenes.
+are modeled the same way (round 3): the decisive quantity is the
+relative second-hit margin ``m_occ = (t2 - t1)/t2`` with ``t2`` the
+nearest intersection of any OTHER primitive behind the winner — the
+boundary where the winner changes is ``t1 = t2``, so hit rays multiply
+an additional ``sigmoid(m_occ/eps)`` relaxed-visibility factor (each
+side of the crossing pushes with its own shading, the same
+construction as the silhouette term).
+
+``eps`` may be a tuple of bandwidths: the factor becomes the geometric
+mean of the per-bandwidth factors, so the gradient is the plain mean —
+the two-bandwidth averaging that cancels most of the O(eps) smoothing
+bias (previously hand-rolled in tests) lives in the library.
+
+Bandwidth guidance (measured, round 3): sphere margins are accurate at
+eps=(0.01, 0.02) (<=5% vs FD); triangle barycentric margins bias
+superlinearly past ~0.01 and want eps=(0.005, 0.01) (<=4%); the
+occlusion sigmoid runs at eps*OCC_EPS_SCALE internally.
 """
 
 from __future__ import annotations
@@ -50,19 +65,32 @@ DEFAULT_EDGE_EPS = 0.01
 
 def silhouette_margin(scene: Scene, o, d, h, t_min=1e-3,
                       tri_chunk: int = 512):
-    """Signed relative silhouette margin per ray, ``(N,)``.
+    """Signed relative silhouette margin per ray plus the occlusion
+    (second-hit) margin: returns ``(margin (N,), occ_margin (N,))``.
 
     ``h`` is the hit dict from ``trace_closest`` (hit, t, uv, mat_id...).
-    Positive for hit rays (interior margin of the winning primitive),
-    negative for miss rays (margin of the nearest near-missed silhouette
-    in front of the eventual hit). Differentiable w.r.t. sphere
-    centers/radii and triangle vertices through the recomputation.
+    ``margin`` is positive for hit rays (interior margin of the winning
+    primitive), negative for miss rays (margin of the nearest
+    near-missed silhouette in front of the eventual hit).
+
+    ``occ_margin = (t2 - t1)/t2`` with ``t2`` the nearest intersection
+    of any OTHER primitive behind the winner (the t-crossing boundary
+    where the winner would change); large (1.0) when nothing else is
+    behind. Both are differentiable w.r.t. sphere centers/radii and
+    triangle vertices through the recomputation. The winner's own
+    candidate is excluded by a 1e-5 relative guard (its recomputed t
+    can differ from ``h['t']`` by ulps) — a band far narrower than any
+    useful ``eps``.
     """
     n = o.shape[0]
     hit = h["hit"]
     # near-misses only matter if their (would-be) intersection lies in
     # front of what the ray actually hit
     t_cap = jnp.where(hit, h["t"], _BIG)
+    # occlusion candidates: strictly behind the winner
+    t_first = jnp.where(hit, h["t"], _BIG)
+    t_excl = t_first * jnp.float32(1.0 + 1e-5)
+    t_occ = jnp.full((n,), _BIG)
 
     margin_hit_sph = jnp.zeros((n,), jnp.float32)
     t_best = jnp.full((n,), _BIG)
@@ -93,6 +121,10 @@ def silhouette_margin(scene: Scene, o, d, h, t_min=1e-3,
             near = (disc < 0.0) & (-half_b > t_min) & (-half_b < t_cap)
             miss_margin = jnp.maximum(miss_margin,
                                       jnp.where(near, m, -jnp.inf))
+            # occlusion candidate: this sphere's nearest root behind
+            # the ray's winner (the winner itself fails the guard)
+            occ = valid & (t > t_excl)
+            t_occ = jnp.minimum(t_occ, jnp.where(occ, t, _BIG))
 
     # the scene winner is a triangle iff its t beats every sphere's
     hit_is_tri = hit & (h["t"] < t_best) & (scene.n_triangles > 0)
@@ -118,7 +150,8 @@ def silhouette_margin(scene: Scene, o, d, h, t_min=1e-3,
             lambda x: x.reshape((n_chunks, tri_chunk) + x.shape[1:]), pack)
         oxd = vm.cross(o, d)
 
-        def body(i, mm):
+        def body(i, carry):
+            mm, tocc = carry
             p = jax.tree_util.tree_map(lambda x: x[i], pack_r)
             det = -(d @ p.fn.T)
             safe = jnp.abs(det) > 1e-12
@@ -130,9 +163,14 @@ def silhouette_margin(scene: Scene, o, d, h, t_min=1e-3,
             near = ((det >= DET_EPS) & (tt > t_min)
                     & (tt < t_cap[:, None]) & (m < 0.0))
             m_near = jnp.max(jnp.where(near, m, -jnp.inf), axis=-1)
-            return jnp.maximum(mm, m_near)
+            # occlusion candidate: interior crossing behind the winner
+            occ = ((det >= DET_EPS) & (m >= 0.0)
+                   & (tt > t_excl[:, None]))
+            t_near = jnp.min(jnp.where(occ, tt, _BIG), axis=-1)
+            return jnp.maximum(mm, m_near), jnp.minimum(tocc, t_near)
 
-        miss_margin = jax.lax.fori_loop(0, n_chunks, body, miss_margin)
+        miss_margin, t_occ = jax.lax.fori_loop(
+            0, n_chunks, body, (miss_margin, t_occ))
     else:
         margin_hit_tri = jnp.zeros((n,), jnp.float32)
 
@@ -141,15 +179,49 @@ def silhouette_margin(scene: Scene, o, d, h, t_min=1e-3,
     # zero gradient; clamp to a large negative instead of -inf so the
     # backward pass stays NaN-free
     miss_margin = jnp.maximum(miss_margin, -1e3)
-    return jnp.where(hit, margin_hit, miss_margin)
+    # occlusion margin: relative t gap to the second hit; 1.0 (far from
+    # any crossing, zero gradient) when nothing is behind or on miss
+    has_occ = hit & (t_occ < _BIG)
+    occ_margin = jnp.where(
+        has_occ,
+        (t_occ - t_first) / jnp.where(has_occ, t_occ, 1.0),
+        1.0,
+    )
+    return jnp.where(hit, margin_hit, miss_margin), occ_margin
 
 
-def edge_factor(scene: Scene, o, d, h, eps: float = DEFAULT_EDGE_EPS,
-                t_min=1e-3):
-    """Per-ray multiplicative factor: exactly 1.0 forward, silhouette
-    gradient backward. Multiply into path throughput each bounce."""
-    m = silhouette_margin(scene, o, d, h, t_min=t_min)
-    w = jax.nn.sigmoid(m / eps)
-    wh = jnp.where(h["hit"], w, 1.0 - w)
-    wh = jnp.maximum(wh, 1e-6)
-    return wh / jax.lax.stop_gradient(wh)
+# The occlusion margin is a relative-t gap: near a grazing t-crossing
+# the same screen-space boundary band maps to a much NARROWER t band
+# than a silhouette's, so the occlusion sigmoid needs a tighter
+# bandwidth. Measured on the two-overlapping-spheres probe (round 3):
+# occ bandwidth eps/1 overshoots the FD crossing term 2.5x; eps/8
+# lands within ~6% (converging monotonically as the band shrinks).
+OCC_EPS_SCALE = 0.125
+
+
+def edge_factor(scene: Scene, o, d, h, eps=DEFAULT_EDGE_EPS,
+                t_min=1e-3, occlusion: bool = True):
+    """Per-ray multiplicative factor: exactly 1.0 forward, silhouette +
+    occlusion gradients backward. Multiply into path throughput each
+    bounce.
+
+    ``eps``: relative bandwidth, or a tuple of bandwidths — the factor
+    is the geometric mean over bandwidths, so the backward pass is the
+    plain mean of the per-bandwidth gradients (bias cancellation). The
+    occlusion term uses ``eps * OCC_EPS_SCALE`` per bandwidth."""
+    m, m_occ = silhouette_margin(scene, o, d, h, t_min=t_min)
+    eps_list = tuple(eps) if isinstance(eps, (tuple, list)) else (eps,)
+    log_w = jnp.zeros_like(m)
+    for e in eps_list:
+        w = jax.nn.sigmoid(m / e)
+        wh = jnp.where(h["hit"], w, 1.0 - w)
+        wh = jnp.maximum(wh, 1e-6)
+        lg = jnp.log(wh)
+        if occlusion:
+            wo = jnp.maximum(
+                jax.nn.sigmoid(m_occ / (e * OCC_EPS_SCALE)), 1e-6)
+            lg = lg + jnp.where(h["hit"], jnp.log(wo), 0.0)
+        log_w = log_w + lg
+    log_w = log_w / len(eps_list)
+    # exactly 0.0 forward (x - x), so exp == 1.0 bit-exactly
+    return jnp.exp(log_w - jax.lax.stop_gradient(log_w))
