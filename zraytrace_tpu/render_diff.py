@@ -46,6 +46,8 @@ def trace_paths(
     bilinear_textures: bool = True,
     remat: bool = True,
     edge_eps: float | None = None,
+    mesh_fast: bool | None = None,
+    tri_flash=None,
 ):
     """Radiance of one path per lane, ``(N, 3)``.
 
@@ -58,6 +60,16 @@ def trace_paths(
     backward pass gains silhouette/visibility gradients with relative
     bandwidth ``edge_eps`` (see edge_grad.py). Replaces the round-1
     finite-difference hybrid for coverage terms.
+
+    ``mesh_fast``: route triangles through the winner-recompute split
+    (diff_trace.py) — the stop-gradient winner pass plus an O(N)
+    differentiable recompute on the winning triangle, instead of
+    differentiating the brute O(N*T) scan. Gradients are identical at
+    fixed topology (tests/test_diff_mesh.py); default auto: on when the
+    scene has >= 64 triangles. ``tri_flash`` (pack via
+    diff_trace.pack_for_diff) additionally runs the winner pass through
+    the flash kernel when the lane count is 512-aligned — the TPU mesh
+    fast path.
     """
     width = jnp.asarray(width, jnp.int32)
     fw = jnp.asarray(width, jnp.float32)
@@ -78,8 +90,16 @@ def trace_paths(
         alive=jnp.ones((n,), bool),
     )
 
+    fast = mesh_fast if mesh_fast is not None else scene.n_triangles >= 64
+    if fast and scene.n_triangles > 0:
+        from zraytrace_tpu.diff_trace import trace_closest_diff
+
+        trace = functools.partial(trace_closest_diff, tri_flash=tri_flash)
+    else:
+        trace = trace_closest
+
     def bounce(state, depth_idx):
-        h = trace_closest(scene, state["o"], state["d"])
+        h = trace(scene, state["o"], state["d"])
         throughput = state["throughput"]
         if edge_eps is not None:
             from zraytrace_tpu.edge_grad import edge_factor
@@ -130,6 +150,8 @@ def render_diff(
     sample_start=0,
     bilinear_textures: bool = True,
     edge_eps: float | None = None,
+    mesh_fast: bool | None = None,
+    tri_flash=None,
 ):
     """Differentiable image ``(H, W, 3)``: mean over ``spp`` paths/pixel.
 
@@ -143,7 +165,7 @@ def render_diff(
         r = trace_paths(
             scene, camera, pixel_ids, jnp.full((n,), s, jnp.int32),
             seed, width, height, max_depth, bilinear_textures,
-            edge_eps=edge_eps,
+            edge_eps=edge_eps, mesh_fast=mesh_fast, tri_flash=tri_flash,
         )
         return carry + r, None
 
