@@ -60,6 +60,11 @@ def main():
     ap.add_argument("--size", type=int, default=256)
     ap.add_argument("--depth", type=int, default=8)
     ap.add_argument("--out", default=None)
+    # samples per device execution: one dispatch for everything by
+    # default (a per-sample python loop was costing ~8 relay RPCs +
+    # syncs ≈ 0.3 s of a 1.6 s run); lower it if a config ever nears
+    # the relay's ~2 min execution deadline
+    ap.add_argument("--chunk-spp", type=int, default=0)
     args = ap.parse_args()
 
     from zraytrace_tpu.geometry.bvh import build_tri_bvh
@@ -98,16 +103,20 @@ def main():
         _ = float(jnp.sum(cnts[0]).astype(jnp.float32))
         return sums, cnts
 
+    chunk = args.chunk_spp or args.spp
     t0 = time.time()
-    run(1, 0)
+    run(chunk, 0)
     compile_s = time.time() - t0
     t0 = time.time()
     total = np.zeros((n_slots, n_lanes, 3), np.float64)
     counters = np.zeros((6, 2), np.uint64)
-    for s in range(args.spp):
-        sums, cnts = run(1, 1 + s)
+    done = 0
+    while done < args.spp:
+        step = min(chunk, args.spp - done)
+        sums, cnts = run(step, 1 + done)
         total += np.asarray(sums, np.float64)
         counters += np.asarray(cnts, np.uint64)
+        done += step
     dt = time.time() - t0
 
     rays, refl, bg, rec, samples, iters = _counters_to_ints(counters)

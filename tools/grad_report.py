@@ -1,0 +1,216 @@
+#!/usr/bin/env python
+"""Gradient-quality report: grad-vs-FD max relative error per parameter
+class — the second BASELINE.json metric ("rays/sec/chip ...;
+grad-vs-FD max error"). Writes GRAD_REPORT.json next to BENCH_r*.json.
+
+Methodology (the one tests/test_edge_grad.py validates): because the
+RNG is a stateless hash of (pixel, sample, bounce), the loss is
+deterministic and central finite differences over the SAME sample
+streams measure the true derivative *including* visibility terms. For
+boundary-dominated parameters (geometry, pose) the FD step is itself a
+smoothing bandwidth, so steps are paired with the edge estimator's
+bandwidths and averaged — both estimators then target the same
+smoothed derivative and the gap is genuine estimator error.
+
+Each class is measured on a probe scene where its gradient has a clean,
+strong signal (mirroring the reference's own per-component test style,
+e.g. triangle.zig:84-118): a lambertian sphere for center/radius/pose,
+a lambertian triangle for vertices, a textured+glass arrangement for
+albedo/IOR. Reference quantities differentiated: sphere.zig:31-68,
+triangle.zig:48-71, texture.zig:36, material.zig:109-125,
+camera.zig:17-53.
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+SPHERE_EPS = (0.01, 0.02)
+TRI_EPS = (0.005, 0.01)
+
+
+def _sphere_scene():
+    from zraytrace_tpu import scene as sc
+    from zraytrace_tpu.camera import make_camera
+
+    b = sc.SceneBuilder()
+    red = b.add_lambertian_color((0.8, 0.1, 0.1))
+    b.add_sphere((0.0, 0.0, 5.0), 1.0, red)
+    lf = np.array([0.0, 0.0, -2.0], np.float32)
+    cam = make_camera(lf, (0.0, 0.0, 1.0), (0.0, 1.0, 0.0), 45.0, 1.0)
+    return b.build(), cam, lf
+
+
+def _triangle_scene():
+    from zraytrace_tpu import scene as sc
+    from zraytrace_tpu.camera import make_camera
+
+    b = sc.SceneBuilder()
+    red = b.add_lambertian_color((0.8, 0.1, 0.1))
+    tris = np.asarray(
+        [[[-1.0, -0.8, 5.0], [0.0, 1.2, 5.0], [1.0, -0.8, 5.0]]],
+        np.float32)
+    b.add_triangles(tris[:, 0], tris[:, 1], tris[:, 2], red)
+    lf = np.array([0.0, 0.0, -2.0], np.float32)
+    cam = make_camera(lf, (0.0, 0.0, 1.0), (0.0, 1.0, 0.0), 45.0, 1.0)
+    return b.build(), cam, lf
+
+
+def _material_scene():
+    """Red sphere behind a glass sphere: IOR bends what the camera sees
+    of the red sphere (shading-continuous), tex_color drives albedo."""
+    from zraytrace_tpu import scene as sc
+    from zraytrace_tpu.camera import make_camera
+
+    b = sc.SceneBuilder()
+    red = b.add_lambertian_color((0.8, 0.2, 0.1))
+    green = b.add_lambertian_color(sc.COLOR_GREEN)
+    glass = b.add_dielectric(1.52)
+    b.add_sphere((0.0, 0.0, 5.0), 1.2, red)
+    b.add_sphere((0.0, -51.0, 5.0), 50.0, green)
+    b.add_sphere((0.0, 0.0, 2.2), 0.7, glass)
+    lf = np.array([0.0, 0.0, -2.0], np.float32)
+    cam = make_camera(lf, (0.0, 0.0, 1.0), (0.0, 1.0, 0.0), 45.0, 1.0)
+    return b.build(), cam, lf
+
+
+# class -> (scene builder, field, component indices, edge bandwidths,
+#           fd steps, (spp, depth) scale factors)
+CLASSES = {
+    "sphere_center": (_sphere_scene, "sph_center", [(0, 0), (0, 2)],
+                      SPHERE_EPS, (0.01, 0.02), (1.0, 3)),
+    "sphere_radius": (_sphere_scene, "sph_radius", [(0,)],
+                      SPHERE_EPS, (0.01, 0.02), (1.0, 3)),
+    "triangle_vertex": (_triangle_scene, "tri_b", [(0, 1), (0, 0)],
+                        TRI_EPS, (0.02, 0.03), (0.25, 2)),
+    "albedo": (_material_scene, "tex_color", [(0, 0), (0, 1)],
+               SPHERE_EPS, (2e-3,), (0.5, 4)),
+    "ior": (_material_scene, "mat_ior", [(2,)],
+            SPHERE_EPS, (0.01, 0.02), (2.0, 4)),
+    "camera_pose": (_sphere_scene, None, [(0,), (1,)],
+                    SPHERE_EPS, (0.01, 0.02), (1.0, 3)),
+}
+
+
+def compute_report(width=64, height=64, spp=128, seed=42, verbose=True,
+                   classes=None):
+    import jax
+    import jax.numpy as jnp
+
+    from zraytrace_tpu.camera import make_camera
+    from zraytrace_tpu.inverse import image_loss, merge_scene, split_scene
+    from zraytrace_tpu.render_diff import render_diff
+
+    report = {"config": dict(width=width, height=height, spp=spp,
+                             seed=seed, edge_aware=True),
+              "classes": {}}
+
+    def entry(name, g_vals, fd_vals):
+        g = np.asarray(g_vals, np.float64)
+        fd = np.asarray(fd_vals, np.float64)
+        # floor relative to the class's own gradient scale: a near-zero
+        # component's absolute FD noise must not read as a huge
+        # relative error
+        scale = max(np.abs(fd).max(), 1e-9)
+        rel = np.abs(g - fd) / np.maximum(np.abs(fd), 0.2 * scale)
+        report["classes"][name] = dict(
+            max_rel_error=float(rel.max()),
+            grad=[float(x) for x in g], fd=[float(x) for x in fd],
+        )
+        if verbose:
+            print(f"  {name:16s} max_rel_error={rel.max():.4f} "
+                  f"(|fd| scale {scale:.3e})", file=sys.stderr)
+
+    for name, (build, field, idxs, eps, fd_steps, (sppf, depth)) in \
+            CLASSES.items():
+        if classes is not None and name not in classes:
+            continue
+        scene, camera, look_from = build()
+        params, static = split_scene(scene)
+        cspp = max(2, int(round(spp * sppf)))
+        target = jnp.zeros((height, width, 3), jnp.float32)
+        lf = jnp.asarray(look_from)
+
+        # the Fresnel-branch score estimator (materials.scatter
+        # branch_grad) is unbiased but adds variance to every other
+        # class's gradient — enable it only where its signal lives
+        bg = name == "ior"
+
+        def make_loss(e, _bg=bg):
+            def loss(p, lfv):
+                cam = make_camera(lfv, (0, 0, 1.0), (0, 1.0, 0),
+                                  45.0, 1.0)
+                img = render_diff(merge_scene(p, static), cam, width,
+                                  height, cspp, depth, seed=seed,
+                                  edge_eps=e, branch_grad=_bg)
+                return image_loss(img, target)
+            return loss
+
+        loss_plain = jax.jit(make_loss(None))
+        if field is None:  # camera pose
+            g_all = np.asarray(
+                jax.jit(jax.grad(make_loss(eps), argnums=1))(params, lf))
+            perturb = lambda idx, h: (params, lf.at[idx].add(h))
+        else:
+            g_all = jax.jit(jax.grad(make_loss(eps)))(params, lf)[field]
+
+            def perturb(idx, h, _f=field):
+                p2 = dict(params)
+                p2[_f] = params[_f].at[idx].add(h)
+                return p2, lf
+
+        g_vals, fd_vals = [], []
+        for idx in idxs:
+            ix = idx[0] if field is None else idx
+            g_vals.append(float(g_all[ix]))
+            fds = []
+            for h in fd_steps:
+                vp = float(loss_plain(*perturb(ix, +h)))
+                vm = float(loss_plain(*perturb(ix, -h)))
+                fds.append((vp - vm) / (2 * h))
+            fd_vals.append(float(np.mean(fds)))
+        entry(name, g_vals, fd_vals)
+
+    report["max_rel_error_overall"] = float(max(
+        c["max_rel_error"] for c in report["classes"].values()))
+    return report
+
+
+def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--size", type=int, default=64)
+    ap.add_argument("--spp", type=int, default=128)
+    ap.add_argument("--out", default="GRAD_REPORT.json")
+    args = ap.parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    from zraytrace_tpu.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
+    t0 = time.time()
+    report = compute_report(width=args.size, height=args.size,
+                            spp=args.spp)
+    report["wall_seconds"] = round(time.time() - t0, 1)
+    import jax
+
+    report["device"] = jax.devices()[0].device_kind
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps({"metric": "grad_vs_fd_max_rel_error",
+                      "value": report["max_rel_error_overall"],
+                      "unit": "relative",
+                      "per_class": {k: v["max_rel_error"]
+                                    for k, v in report["classes"].items()}}))
+
+
+if __name__ == "__main__":
+    main()

@@ -26,6 +26,12 @@ from zraytrace_tpu import vecmath as vm
 from zraytrace_tpu.textures import texture_albedo
 
 
+# Bandwidth of the relaxed total-internal-reflection indicator in
+# ratio*sin_theta units (see scatter's branch_grad); same order as the
+# geometric silhouette bandwidths in edge_grad.py.
+TIR_EPS = 0.01
+
+
 def schlick_reflectance(cosine, ref_ratio):
     """material.zig:125-127 (unsquared r0 — see module docstring)."""
     r0 = (1.0 - ref_ratio) / (1.0 + ref_ratio)
@@ -33,7 +39,7 @@ def schlick_reflectance(cosine, ref_ratio):
 
 
 def scatter(scene: sc.Scene, d_in, normal, front_face, uv, mat_id, rnd,
-            bilinear_textures: bool = False):
+            bilinear_textures: bool = False, branch_grad: bool = False):
     """Scatter a batch of rays off their hit surfaces.
 
     Args:
@@ -45,6 +51,15 @@ def scatter(scene: sc.Scene, d_in, normal, front_face, uv, mat_id, rnd,
       mat_id: ``(N,)`` int32 material table indices.
       rnd: ``(N, 4)`` U[0,1) uniforms: [0:2] lambertian direction,
         [2] dielectric Fresnel test, [3] spare.
+      branch_grad: score-function gradient for the stochastic Fresnel
+        branch (material.zig:117): the dielectric attenuation is
+        multiplied by ``w / stop_grad(w)`` with ``w`` the probability of
+        the branch actually taken (Schlick reflectance or its
+        complement). Exactly 1.0 forward; the backward pass gains the
+        exact (unbiased, bandwidth-free) derivative of the branch
+        probabilities w.r.t. IOR — the REINFORCE estimator for this
+        discrete choice. Off by default (the fast forward paths skip
+        the extra ops); render_diff turns it on.
 
     Returns:
       (new_dir ``(N,3)`` unit, attenuation ``(N,3)``, absorbed ``(N,)``).
@@ -85,9 +100,8 @@ def scatter(scene: sc.Scene, d_in, normal, front_face, uv, mat_id, rnd,
     cos_theta = jnp.minimum(vm.dot(-d_in, normal), 1.0)
     sin_theta = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_theta * cos_theta))
     cannot_refract = ratio * sin_theta > 1.0
-    reflect_now = cannot_refract | (
-        schlick_reflectance(cos_theta, ratio) > rnd[:, 2]
-    )
+    refl = schlick_reflectance(cos_theta, ratio)
+    reflect_now = cannot_refract | (refl > rnd[:, 2])
     die_dir = jnp.where(
         reflect_now[:, None],
         vm.reflect(d_in, normal),
@@ -102,5 +116,32 @@ def scatter(scene: sc.Scene, d_in, normal, front_face, uv, mat_id, rnd,
 
     white = jnp.ones_like(albedo)
     attenuation = jnp.where(is_lam | is_met, albedo, white)
+    if branch_grad:
+        import jax
+
+        # Relaxed probability of the branch taken. Two discrete
+        # decisions move with IOR: the stochastic Schlick test
+        # (probability refl / 1-refl — its score-function derivative is
+        # exact) and the total-internal-reflection threshold
+        # ratio*sin_theta = 1 (material.zig:116), relaxed with a
+        # sigmoid of bandwidth TIR_EPS like the silhouette margins in
+        # edge_grad.py. Combined: P(reflect) = s + (1-s) R,
+        # P(refract) = (1-s)(1-R) with s the soft TIR indicator.
+        r_c = jnp.clip(refl, 1e-4, 1.0 - 1e-4)
+        # sin_theta's sqrt has an infinite derivative at 0 (normal
+        # incidence); before branch_grad nothing differentiated through
+        # it (it only fed a boolean). Double-where guard for the
+        # sigmoid's argument only — the branch decisions above keep the
+        # exact forward value.
+        sin2 = 1.0 - cos_theta * cos_theta
+        sin_g = jnp.sqrt(jnp.where(sin2 > 1e-8, sin2, 1.0))
+        sin_g = jnp.where(sin2 > 1e-8, sin_g, 0.0)
+        s = jax.nn.sigmoid((ratio * sin_g - 1.0) / TIR_EPS)
+        w = jnp.where(reflect_now, s + (1.0 - s) * r_c,
+                      (1.0 - s) * (1.0 - r_c))
+        w = jnp.maximum(w, 1e-6)
+        factor = w / jax.lax.stop_gradient(w)  # == 1.0 forward
+        attenuation = attenuation * jnp.where(
+            is_lam | is_met, 1.0, factor[:, None])
     absorbed = (mat_type == sc.METAL) & met_absorb
     return new_dir, attenuation, absorbed

@@ -108,6 +108,51 @@ _RL_ROWS_MAX_CHUNKS = int(_os.environ.get("ZRAYTRACE_FLASH_RL_ROWS", "1400"))
 # e1(3) e2(3) fn(3) e2xa(3) e1xa(3) a_dot_fn(1) valid(1) orig_id(1)
 N_COMP = 18
 
+# Two-level chunk culling (round 3): above _GRP_MIN_CHUNKS chunks,
+# consecutive BVH-ordered chunks are grouped _GRP at a time under a
+# group AABB; the exact per-ray slab test runs at GROUP granularity
+# (C/_GRP wide) and the kernel expands each reachable group with an
+# unrolled inner loop over its _GRP chunks. Culling a group no ray in
+# the block can reach inside its own (t_min, t_init] window cannot
+# change any winner (same argument as per-chunk lists).
+# DEFAULT OFF (hardware-measured LOSS on the goat-class probe:
+# 612k -> 416k rays/s at GRP=8, 491k at GRP=4 — chunk-visit inflation
+# from group expansion outweighs the prepass/argsort savings because
+# the prepass is only ~10% of goat wall; PERF.md round 3).
+_GRP = int(_os.environ.get("ZRAYTRACE_FLASH_GRP", "0"))
+_GRP_MIN_CHUNKS = int(_os.environ.get("ZRAYTRACE_FLASH_GRP_MIN", "256"))
+
+# Ray sorting (round 3): at goat scale the kernel cost is the per-block
+# reachable-chunk UNION — 128 incoherent bounce rays each drag their
+# own chunks into the block's work list. Sorting rays by origin morton
+# cell + direction octant before the call groups rays whose reachable
+# sets overlap; inputs are permuted, outputs inverse-permuted (winner
+# values are ray-local, so results are exactly permutation-invariant).
+# Costs two argsorts + ~12 n-row gathers per call (~7 ms at 131k lanes)
+# — noise next to goat-scale chunk streaming, a loss at teapot scale,
+# so it engages above _SORT_MIN_CHUNKS chunks only.
+_SORT_MIN_CHUNKS = int(_os.environ.get("ZRAYTRACE_FLASH_SORT_MIN", "256"))
+_SORT = _os.environ.get("ZRAYTRACE_FLASH_SORT", "1") == "1"
+
+# Conservative two-phase occlusion culling (round 3): the per-ray
+# reachability window (t_min, t_init] is capped by the closest SPHERE
+# only — at goat scale (25 occluding sub-meshes) a bounce ray credits
+# reachability to every chunk along its line all the way to the ground
+# sphere, so the work lists cull only ~40% of visits (hardware
+# ablation). Phase 1 intersects a 1/_COARSE_STEP systematic sample of
+# the triangles (a SUBSET, so its hit t is a VALID upper bound on the
+# true winner's t — subset hits are real hits); the tightened cap
+# feeds phase 2's reachability while the running winner still starts
+# at the sphere seed, so outputs are unchanged. Rays that slip through
+# the subset's holes keep the sphere cap (conservative, never wrong).
+# DEFAULT OFF (hardware-measured LOSS on the goat-class probe: 1455k
+# (sort only) -> 1299k rays/s with coarse16 — the phase-1 kernel +
+# its prepass cost more than the visit reduction buys; PERF.md r3).
+_COARSE = _os.environ.get("ZRAYTRACE_FLASH_COARSE", "0") == "1"
+_COARSE_STEP = int(_os.environ.get("ZRAYTRACE_FLASH_COARSE_STEP", "16"))
+_COARSE_MIN_CHUNKS = int(_os.environ.get("ZRAYTRACE_FLASH_COARSE_MIN",
+                                         "256"))
+
 
 class TriPlanes(NamedTuple):
     planes: jnp.ndarray  # (N_COMP, n_chunks, 128) f32
@@ -128,6 +173,14 @@ class TriPlanes(NamedTuple):
     # gather row instead of four (TPU gathers cost ~5 ns per ROW
     # regardless of width, PERF.md).
     attrs: jnp.ndarray = None
+    # Optional (n_groups, 8) group AABBs over _GRP consecutive chunks
+    # (two-level culling, see _GRP above). Non-None only when the mesh
+    # exceeded _GRP_MIN_CHUNKS chunks at pack time; the group size is
+    # recovered statically as ceil(n_chunks / n_groups).
+    group_bounds: jnp.ndarray = None
+    # Optional nested TriPlanes over a 1/_COARSE_STEP triangle subset
+    # (conservative occlusion cap, see _COARSE above).
+    coarse: "TriPlanes" = None
 
 
 def pack_tri_planes(a, b, c, order=None, tri_mat=None,
@@ -211,8 +264,32 @@ def pack_tri_planes(a, b, c, order=None, tri_mat=None,
             planes_rl = jnp.transpose(planes, (1, 2, 0))
         else:
             planes_rl = jnp.zeros((1,), jnp.float32)
+    # two-level culling: group AABBs over _GRP consecutive chunks
+    group_bounds = None
+    if n_chunks >= _GRP_MIN_CHUNKS and _GRP > 1:
+        n_groups = -(-n_chunks // _GRP)
+        gpad = n_groups * _GRP - n_chunks
+        lo_g = jnp.concatenate(
+            [lo_c, jnp.broadcast_to(lo_c[-1:], (gpad, 3))], axis=0
+        ).reshape(n_groups, _GRP, 3).min(axis=1)
+        hi_g = jnp.concatenate(
+            [hi_c, jnp.broadcast_to(hi_c[-1:], (gpad, 3))], axis=0
+        ).reshape(n_groups, _GRP, 3).max(axis=1)
+        group_bounds = jnp.concatenate(
+            [lo_g, hi_g, jnp.zeros((n_groups, 2), jnp.float32)], axis=1)
+    # conservative occlusion cap: systematic triangle subsample (packed
+    # lean — a zero attrs table skips the u/v reductions; only its t is
+    # consumed). Sampled AFTER the BVH ordering so coarse chunks stay
+    # spatially tight.
+    coarse = None
+    if _COARSE and n_chunks >= _COARSE_MIN_CHUNKS and _COARSE_STEP > 1:
+        ca, cb, cc = (x[:T][::_COARSE_STEP] for x in (a_, b_, c_))
+        coarse = pack_tri_planes(
+            ca, cb, cc, tri_mat=jnp.zeros((ca.shape[0],), jnp.float32),
+            const_materials=True)
     return TriPlanes(planes=planes, bounds=bounds, n_tris=T,
-                     planes_rl=planes_rl, attrs=attrs)
+                     planes_rl=planes_rl, attrs=attrs,
+                     group_bounds=group_bounds, coarse=coarse)
 
 
 def _ray_chunk_worklists(bounds, o, d, ti, t_min, n_blocks):
@@ -448,13 +525,18 @@ def _winner_scan(planes_ref, o_ref, d_ref, read_wl, n_work, t_min,
 
 def _kernel_rl(planes_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
                dz_ref, ti_ref, tmin_ref, wl_in, nw_ref, out_ref,
-               need_uv=True, use_cols=False):
+               need_uv=True, use_cols=False, grp=1, n_chunks=0):
     """Rays-on-lanes winner scan (see _RL): one grid block = 128 rays
     as a dense (1, 128) lane row; triangle chunks stream as (128, 1)
     sublane columns; the winner state is (128 tri-slots, 128 rays) and
     the final reduction runs over SUBLANES. Same arithmetic as
     _winner_scan — values bit-identical, only bit-equal-t ties between
-    DISTINCT triangles can resolve differently (sublane-first)."""
+    DISTINCT triangles can resolve differently (sublane-first).
+
+    ``grp > 1``: two-level mode — work-list entries are GROUP ids and
+    each visit unrolls the group's ``grp`` chunks (see _GRP). Ragged
+    tail groups clamp to the last chunk; revisiting a chunk cannot
+    change winners (strict ``t < tb``)."""
     t_min = tmin_ref[0]
     n_work = nw_ref[0, 0, 0]
     row = lambda r: r[0, 0, :][None, :]  # (1, 128) rays on lanes
@@ -468,12 +550,7 @@ def _kernel_rl(planes_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
     shape = (LANE, LANE)  # (tri sublane, ray lane)
     tb0 = jnp.zeros(shape, jnp.float32) + ti
 
-    def work_body(carry):
-        if need_uv:
-            i, tb, ub, vb, ob = carry
-        else:
-            i, tb, cb = carry
-        ci = wl_in[0, 0, i]
+    def visit(ci, tb, ub, vb, ob, cb):
         if use_cols:
             blk_t = planes_ref[ci]  # (128, N_COMP) row block
         else:
@@ -503,8 +580,26 @@ def _kernel_rl(planes_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
             ub = jnp.where(better, u, ub)
             vb = jnp.where(better, v, vb)
             ob = jnp.where(better, jnp.zeros(shape) + pr(17), ob)
+        else:
+            cb = jnp.where(better, ci, cb)
+        return tb, ub, vb, ob, cb
+
+    def work_body(carry):
+        if need_uv:
+            i, tb, ub, vb, ob = carry
+            cb = None
+        else:
+            i, tb, cb = carry
+            ub = vb = ob = None
+        wi = wl_in[0, 0, i]
+        if grp > 1:
+            for j in range(grp):
+                ci = jnp.minimum(wi * grp + j, n_chunks - 1)
+                tb, ub, vb, ob, cb = visit(ci, tb, ub, vb, ob, cb)
+        else:
+            tb, ub, vb, ob, cb = visit(wi, tb, ub, vb, ob, cb)
+        if need_uv:
             return i + 1, tb, ub, vb, ob
-        cb = jnp.where(better, ci, cb)
         return i + 1, tb, cb
 
     fzs = lambda: jnp.zeros(shape, jnp.float32)
@@ -545,15 +640,62 @@ def _kernel_rl(planes_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
         [t_best, u_best, v_best, i_best, hit, zr, zr, zr], axis=0)
 
 
-def _flash_rl(planes: TriPlanes, o, d, t_min, ti):
-    """Rays-on-lanes dispatch: dense (n/128, 128) boundary tensors."""
+def _ray_sort_perm(bounds, o, d):
+    """Coherence permutation: origin morton cell (6 bits/axis over the
+    mesh AABB) then direction octant. Stable, so equal-key rays (e.g.
+    tile-coherent primaries, which share the camera origin) keep their
+    incoming order."""
+    lo = jnp.min(bounds[:, 0:3], axis=0)
+    hi = jnp.max(bounds[:, 3:6], axis=0)
+    span = jnp.maximum(hi - lo, 1e-6)
+    q = jnp.clip((o - lo) / span * 64.0, 0.0, 63.0).astype(jnp.int32)
+
+    def part1by2(x):  # spread 6 bits with 2-bit gaps (fits int32)
+        x = (x | (x << 8)) & 0x0300F00F
+        x = (x | (x << 4)) & 0x030C30C3
+        x = (x | (x << 2)) & 0x09249249
+        return x
+
+    morton = (part1by2(q[:, 0]) | (part1by2(q[:, 1]) << 1)
+              | (part1by2(q[:, 2]) << 2))
+    octant = ((d[:, 0] < 0).astype(jnp.int32) * 4
+              + (d[:, 1] < 0).astype(jnp.int32) * 2
+              + (d[:, 2] < 0).astype(jnp.int32))
+    key = morton * 8 + octant
+    perm = jnp.argsort(key, stable=True).astype(jnp.int32)
+    inv = jnp.zeros_like(perm).at[perm].set(
+        jax.lax.iota(jnp.int32, perm.shape[0]))
+    return perm, inv
+
+
+def _flash_rl(planes: TriPlanes, o, d, t_min, ti, reach_cap=None):
+    """Rays-on-lanes dispatch: dense (n/128, 128) boundary tensors.
+
+    ``reach_cap``: optional per-ray upper bound on the winner t used
+    ONLY for work-list reachability (e.g. the coarse-phase occlusion
+    cap); the kernel's running winner still starts at ``ti`` so the
+    outputs are identical to an uncapped run."""
     n = o.shape[0]
     assert n % LANE == 0, n
     n_blocks = n // LANE
     n_chunks = planes.planes.shape[1]
     need_uv = planes.attrs is None
     tmin_arr = jnp.full((1,), t_min, jnp.float32)
-    wl, nw = _ray_chunk_worklists(planes.bounds, o, d, ti, t_min, n_blocks)
+    cap = ti if reach_cap is None else reach_cap
+    if planes.group_bounds is not None:
+        # two-level culling: exact per-ray reachability at GROUP
+        # granularity (prepass + argsort shrink by the group factor);
+        # the kernel unrolls each group's chunks
+        n_groups = planes.group_bounds.shape[0]
+        grp = -(-n_chunks // n_groups)
+        wl, nw = _ray_chunk_worklists(planes.group_bounds, o, d, cap,
+                                      t_min, n_blocks)
+        wl_width = n_groups
+    else:
+        grp = 1
+        wl, nw = _ray_chunk_worklists(planes.bounds, o, d, cap, t_min,
+                                      n_blocks)
+        wl_width = n_chunks
     wl = wl[:, None, :]
     nw = nw[:, :, None]
     use_cols = planes.planes_rl.ndim == 3
@@ -564,7 +706,8 @@ def _flash_rl(planes: TriPlanes, o, d, t_min, ti):
             dense(ti), tmin_arr, wl, nw]
 
     def kern(*refs):
-        return _kernel_rl(*refs, need_uv=need_uv, use_cols=use_cols)
+        return _kernel_rl(*refs, need_uv=need_uv, use_cols=use_cols,
+                          grp=grp, n_chunks=n_chunks)
 
     row_spec = pl.BlockSpec((1, 1, LANE), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
@@ -575,7 +718,7 @@ def _flash_rl(planes: TriPlanes, o, d, t_min, ti):
         + [row_spec] * 7
         + [
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, n_chunks), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, 1, wl_width), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
@@ -628,7 +771,24 @@ def flash_intersect_triangles(planes: TriPlanes, o, d, t_min, t_init=None):
         return (ti[:, 0], jnp.zeros((n,), jnp.int32),
                 jnp.zeros((n,), jnp.bool_), jnp.zeros((n, 2), jnp.float32))
     if _RL and planes.planes_rl is not None and not _SKIPK:
-        return _flash_rl(planes, o, d, t_min, ti[:, 0])
+
+        def run_rl(o_, d_, ti_):
+            cap = None
+            if planes.coarse is not None:
+                # phase 1: subset intersection — its t is a valid upper
+                # bound on the true winner's t (see _COARSE)
+                cap = _flash_rl(planes.coarse, o_, d_, t_min, ti_)[0]
+            return _flash_rl(planes, o_, d_, t_min, ti_, reach_cap=cap)
+
+        if _SORT and planes.planes.shape[1] >= _SORT_MIN_CHUNKS:
+            # coherence sort (see _SORT): per-ray results are exactly
+            # permutation-invariant (ascending-chunk-id tie-break holds
+            # in every block), so inverse-permuting restores the
+            # unsorted call's outputs bit for bit
+            perm, inv = _ray_sort_perm(planes.bounds, o, d)
+            t, idx, hit, uv = run_rl(o[perm], d[perm], ti[perm, 0])
+            return t[inv], idx[inv], hit[inv], uv[inv]
+        return run_rl(o, d, ti[:, 0])
     if _XLA_WL:
         # exact per-ray chunk reachability computed in XLA, OR-reduced
         # per block and fed in as an SMEM work list (one (1, C) row per

@@ -48,6 +48,7 @@ def trace_paths(
     edge_eps: float | None = None,
     mesh_fast: bool | None = None,
     tri_flash=None,
+    branch_grad: bool = False,
 ):
     """Radiance of one path per lane, ``(N, 3)``.
 
@@ -111,6 +112,7 @@ def trace_paths(
         new_dir, atten, absorbed = mat.scatter(
             scene, state["d"], h["normal"], h["front_face"], h["uv"], h["mat_id"],
             rnd, bilinear_textures=bilinear_textures,
+            branch_grad=branch_grad,
         )
         alive = state["alive"]
         miss = alive & ~h["hit"]
@@ -152,6 +154,7 @@ def render_diff(
     edge_eps: float | None = None,
     mesh_fast: bool | None = None,
     tri_flash=None,
+    branch_grad: bool = False,
 ):
     """Differentiable image ``(H, W, 3)``: mean over ``spp`` paths/pixel.
 
@@ -166,6 +169,7 @@ def render_diff(
             scene, camera, pixel_ids, jnp.full((n,), s, jnp.int32),
             seed, width, height, max_depth, bilinear_textures,
             edge_eps=edge_eps, mesh_fast=mesh_fast, tri_flash=tri_flash,
+            branch_grad=branch_grad,
         )
         return carry + r, None
 
