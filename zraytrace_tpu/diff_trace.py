@@ -74,6 +74,10 @@ def _tri_winner_ids(scene, o, d, ts, t_min, t_max, tri_flash):
         assert tri_flash.attrs is None, (
             "diff winner pass needs original ids: pack via pack_for_diff()"
         )
+        # planes may be packed from TRACED vertices inside a fit step
+        # (e.g. pose optimization repacks per step); stop-grad the whole
+        # pytree so reverse mode never reaches the pallas call
+        tri_flash = jax.tree_util.tree_map(sg, tri_flash)
         _, idx, tri_won, _ = flash_intersect_triangles(
             tri_flash, o_s, d_s, t_min, t_init=ts_s)
         return tri_won, idx

@@ -46,6 +46,7 @@ def trace_paths(
     bilinear_textures: bool = True,
     remat: bool = True,
     edge_eps: float | None = None,
+    edge_occlusion: bool = True,
     mesh_fast: bool | None = None,
     tri_flash=None,
     branch_grad: bool = False,
@@ -105,7 +106,8 @@ def trace_paths(
         if edge_eps is not None:
             from zraytrace_tpu.edge_grad import edge_factor
 
-            f = edge_factor(scene, state["o"], state["d"], h, edge_eps)
+            f = edge_factor(scene, state["o"], state["d"], h, edge_eps,
+                            occlusion=edge_occlusion)
             throughput = throughput * jnp.where(
                 state["alive"], f, 1.0)[:, None]
         rnd = zrng.uniform4(seed, pixel_ids, sample_ids, depth_idx, zrng.STREAM_SCATTER)
@@ -152,6 +154,7 @@ def render_diff(
     sample_start=0,
     bilinear_textures: bool = True,
     edge_eps: float | None = None,
+    edge_occlusion: bool = True,
     mesh_fast: bool | None = None,
     tri_flash=None,
     branch_grad: bool = False,
@@ -168,7 +171,8 @@ def render_diff(
         r = trace_paths(
             scene, camera, pixel_ids, jnp.full((n,), s, jnp.int32),
             seed, width, height, max_depth, bilinear_textures,
-            edge_eps=edge_eps, mesh_fast=mesh_fast, tri_flash=tri_flash,
+            edge_eps=edge_eps, edge_occlusion=edge_occlusion,
+            mesh_fast=mesh_fast, tri_flash=tri_flash,
             branch_grad=branch_grad,
         )
         return carry + r, None
