@@ -131,11 +131,14 @@ def main() -> int:
     # pins the launch count (the gather conservation law, PERF.md).
     # Calibration is scene preprocessing (like the BVH build) and runs
     # before the timed loop; its wall time is printed for the record.
+    # Default ON: the balanced map is worth a small but repeatable
+    # +0.5-0.8% (739.5M vs 734.0M, round 3) and the calibration render
+    # is untimed scene preprocessing. calib_spp=64 measured best.
     if (use_pallas and kern != "2"
-            and os.environ.get("ZRAYTRACE_BENCH_BALANCE", "0") == "1"):
+            and os.environ.get("ZRAYTRACE_BENCH_BALANCE", "1") == "1"):
         from zraytrace_tpu.balance import balanced_pixel_base
 
-        calib_spp = int(os.environ.get("ZRAYTRACE_BENCH_CALIB_SPP", "32"))
+        calib_spp = int(os.environ.get("ZRAYTRACE_BENCH_CALIB_SPP", "64"))
         t_cal = time.time()
         perm, bstats = balanced_pixel_base(
             scene, camera, size, size, depth, n_lanes, n_slots,

@@ -65,6 +65,10 @@ def main():
     # syncs ≈ 0.3 s of a 1.6 s run); lower it if a config ever nears
     # the relay's ~2 min execution deadline
     ap.add_argument("--chunk-spp", type=int, default=0)
+    # sample-group interleave (render.py wavefront_trace sample_groups):
+    # goat dispatches are occupancy-bound (straggler lanes), so
+    # splitting each pixel's spp across G lane windows cuts tail waste
+    ap.add_argument("--xgroups", type=int, default=1)
     args = ap.parse_args()
 
     from zraytrace_tpu.geometry.bvh import build_tri_bvh
@@ -99,16 +103,18 @@ def main():
         sums, cnts = _wavefront_jit(
             scene, camera, base, 42, size, size, spp, args.depth,
             start, None, n_lanes, n_pix, n_slots, planes, True,
+            args.xgroups,
         )
         _ = float(jnp.sum(cnts[0]).astype(jnp.float32))
         return sums, cnts
 
     chunk = args.chunk_spp or args.spp
     t0 = time.time()
-    run(chunk, 0)
+    warm, _ = run(chunk, 0)
     compile_s = time.time() - t0
     t0 = time.time()
-    total = np.zeros((n_slots, n_lanes, 3), np.float64)
+    # sample_groups > 1 carries G interleaved sum planes; match shape
+    total = np.zeros(warm.shape, np.float64)
     counters = np.zeros((6, 2), np.uint64)
     done = 0
     while done < args.spp:
@@ -123,7 +129,8 @@ def main():
     assert samples == n_pix * args.spp
     assert rays == refl + samples - rec
     print(f"goat-class: {rays} rays in {dt:.1f}s = "
-          f"{rays/dt/1e3:.1f}k rays/s  (compile {compile_s:.0f}s)",
+          f"{rays/dt/1e3:.1f}k rays/s  (compile {compile_s:.0f}s, "
+          f"iters {iters}, {dt/max(iters,1)*1e3:.1f} ms/iter)",
           flush=True)
 
     if args.out:
