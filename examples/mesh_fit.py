@@ -9,7 +9,7 @@ differentiable Möller-Trumbore recompute carries gradients into the
 silhouette/occlusion coverage terms. The 6,320-triangle teapot is the
 reference's own mesh workload (scenes.zig:206-232).
 
-    python examples/mesh_fit.py [--steps 40] [--cpu]
+    python examples/mesh_fit.py [--steps 120] [--cpu]
 """
 
 import argparse
@@ -22,16 +22,22 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=40)
-    ap.add_argument("--size", type=int, default=48)
-    ap.add_argument("--spp", type=int, default=4)
+    ap.add_argument("--steps", type=int, default=120)
+    ap.add_argument("--size", type=int, default=64)
+    ap.add_argument("--spp", type=int, default=8)
     ap.add_argument("--depth", type=int, default=4)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--tris", type=int, default=0,
                     help="optional triangle-count cap (0 = full teapot)")
-    ap.add_argument("--init", type=float, default=1.0,
-                    help="scale of the initial pose offset")
-    ap.add_argument("--lr", type=float, default=3e-2)
+    ap.add_argument("--init", type=float, default=0.5,
+                    help="scale of the initial pose offset; far inits "
+                         "(>~1) leave the silhouette attraction basin "
+                         "and want a coarse-to-fine eps schedule")
+    ap.add_argument("--lr", type=float, default=2e-2)
+    ap.add_argument("--eps", type=float, default=0.015,
+                    help="edge bandwidth (the pair (eps, 2*eps) is "
+                         "used); wider reaches further from the "
+                         "silhouette but biases more")
     args = ap.parse_args()
 
     if args.cpu:
@@ -94,7 +100,8 @@ def main():
         return render_diff(scene, camera, args.size, args.size,
                            args.spp, args.depth, mesh_fast=True,
                            tri_flash=tri_flash,
-                           edge_eps=(0.01, 0.02), edge_occlusion=False)
+                           edge_eps=(args.eps, 2 * args.eps),
+                           edge_occlusion=False)
 
     true_off = jnp.asarray([0.0, 0.0, 0.0], jnp.float32)
     target = jax.lax.stop_gradient(image_at(true_off))

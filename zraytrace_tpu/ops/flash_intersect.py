@@ -133,6 +133,11 @@ _GRP_MIN_CHUNKS = int(_os.environ.get("ZRAYTRACE_FLASH_GRP_MIN", "256"))
 # so it engages above _SORT_MIN_CHUNKS chunks only.
 _SORT_MIN_CHUNKS = int(_os.environ.get("ZRAYTRACE_FLASH_SORT_MIN", "256"))
 _SORT = _os.environ.get("ZRAYTRACE_FLASH_SORT", "1") == "1"
+# "reach": sort rays by the centroid of their own reachable-chunk set
+# (the exact signal the block union depends on — computed from the
+# reach matrix the prepass produces anyway). "morton": origin cell +
+# direction octant (cheaper key, weaker clustering).
+_SORT_MODE = _os.environ.get("ZRAYTRACE_FLASH_SORT_MODE", "reach")
 
 # Conservative two-phase occlusion culling (round 3): the per-ray
 # reachability window (t_min, t_init] is capped by the closest SPHERE
@@ -292,24 +297,16 @@ def pack_tri_planes(a, b, c, order=None, tri_mat=None,
                      group_bounds=group_bounds, coarse=coarse)
 
 
-def _ray_chunk_worklists(bounds, o, d, ti, t_min, n_blocks):
-    """EXACT per-ray chunk reachability, computed in XLA and OR-reduced
-    per ray block: per (ray, chunk) a slab test of the chunk AABB
-    against the ray's own window (t_min, t_init]. The in-kernel scalar
-    prescan (see _kernel) is conservative over the block's ORIGIN x
-    DIRECTION interval family — for bounce blocks the direction
-    interval spans zero on every axis, so it degenerates to
-    "everything within t_cap" and one sky ray keeps t_cap huge. The
-    exact per-ray union is dramatically tighter for blocks far from the
-    mesh (the mesh subtends a small solid angle there), which is most
-    of them in the reference scenes.
-
-    Returns (wl (n_blocks, C) i32 — reachable chunk ids first, in
-    ascending order; n_work (n_blocks, 1) i32). Skipping a chunk no
-    ray in the block can reach inside its own (t_min, t_init] window
-    cannot change any winner: a seeded winner is only displaced by a
-    strictly closer hit, and hits need t <= far and t > t_min."""
-    C = bounds.shape[0]
+def _ray_chunk_reach(bounds, o, d, ti, t_min):
+    """EXACT per-ray chunk reachability ``(n, C)`` bool: per (ray,
+    chunk) a slab test of the chunk AABB against the ray's own window
+    (t_min, t_init]. The in-kernel scalar prescan (see _kernel) is
+    conservative over the block's ORIGIN x DIRECTION interval family —
+    for bounce blocks the direction interval spans zero on every axis,
+    so it degenerates to "everything within t_cap" and one sky ray
+    keeps t_cap huge. The exact per-ray test is dramatically tighter
+    for rays far from the mesh (it subtends a small solid angle
+    there)."""
     lo = bounds[None, :, 0:3]
     hi = bounds[None, :, 3:6]
     # |d| < 1e-30 (incl. +-0) is replaced by +1e-30: movement along such
@@ -325,7 +322,17 @@ def _ray_chunk_worklists(bounds, o, d, ti, t_min, n_blocks):
     t2 = (hi - o[:, None, :]) * inv
     near = jnp.max(jnp.minimum(t1, t2), axis=-1)
     far = jnp.min(jnp.maximum(t1, t2), axis=-1)
-    reach = (near <= far) & (far > t_min) & (near <= ti[:, None])
+    return (near <= far) & (far > t_min) & (near <= ti[:, None])
+
+
+def _block_worklists(reach, n_blocks):
+    """OR-reduce per-ray reachability over ray blocks and compact into
+    SMEM work lists: (wl (n_blocks, C) i32 — reachable chunk ids first,
+    ascending; n_work (n_blocks, 1) i32). Skipping a chunk no ray in
+    the block can reach inside its own (t_min, t_init] window cannot
+    change any winner: a seeded winner is only displaced by a strictly
+    closer hit, and hits need t <= far and t > t_min."""
+    C = reach.shape[1]
     reach_b = jnp.any(reach.reshape(n_blocks, -1, C), axis=1)
     n_work = jnp.sum(reach_b, axis=1, dtype=jnp.int32)[:, None]
     if _NOWORK:
@@ -333,6 +340,12 @@ def _ray_chunk_worklists(bounds, o, d, ti, t_min, n_blocks):
     # stable argsort on ~reach puts reachable ids first, ascending
     wl = jnp.argsort(~reach_b, axis=1, stable=True).astype(jnp.int32)
     return wl, n_work
+
+
+def _ray_chunk_worklists(bounds, o, d, ti, t_min, n_blocks):
+    """reach + block compaction (see _ray_chunk_reach/_block_worklists)."""
+    return _block_worklists(
+        _ray_chunk_reach(bounds, o, d, ti, t_min), n_blocks)
 
 
 def _kernel(*refs, need_uv=True, xla_wl=False):
@@ -668,13 +681,19 @@ def _ray_sort_perm(bounds, o, d):
     return perm, inv
 
 
-def _flash_rl(planes: TriPlanes, o, d, t_min, ti, reach_cap=None):
+def _flash_rl(planes: TriPlanes, o, d, t_min, ti, reach_cap=None,
+              worklists=None):
     """Rays-on-lanes dispatch: dense (n/128, 128) boundary tensors.
 
     ``reach_cap``: optional per-ray upper bound on the winner t used
     ONLY for work-list reachability (e.g. the coarse-phase occlusion
     cap); the kernel's running winner still starts at ``ti`` so the
-    outputs are identical to an uncapped run."""
+    outputs are identical to an uncapped run.
+
+    ``worklists``: optional precomputed ``(wl, nw, grp)`` per-block
+    work lists (e.g. from the reach-sorted prepass); entries are chunk
+    ids when grp == 1, else group ids the kernel expands. reach_cap
+    and the group path are then bypassed."""
     n = o.shape[0]
     assert n % LANE == 0, n
     n_blocks = n // LANE
@@ -682,7 +701,10 @@ def _flash_rl(planes: TriPlanes, o, d, t_min, ti, reach_cap=None):
     need_uv = planes.attrs is None
     tmin_arr = jnp.full((1,), t_min, jnp.float32)
     cap = ti if reach_cap is None else reach_cap
-    if planes.group_bounds is not None:
+    if worklists is not None:
+        wl, nw, grp = worklists
+        wl_width = wl.shape[1]
+    elif planes.group_bounds is not None:
         # two-level culling: exact per-ray reachability at GROUP
         # granularity (prepass + argsort shrink by the group factor);
         # the kernel unrolls each group's chunks
@@ -771,24 +793,67 @@ def flash_intersect_triangles(planes: TriPlanes, o, d, t_min, t_init=None):
         return (ti[:, 0], jnp.zeros((n,), jnp.int32),
                 jnp.zeros((n,), jnp.bool_), jnp.zeros((n, 2), jnp.float32))
     if _RL and planes.planes_rl is not None and not _SKIPK:
+        sort_on = _SORT and planes.planes.shape[1] >= _SORT_MIN_CHUNKS
 
-        def run_rl(o_, d_, ti_):
-            cap = None
-            if planes.coarse is not None:
-                # phase 1: subset intersection — its t is a valid upper
-                # bound on the true winner's t (see _COARSE)
-                cap = _flash_rl(planes.coarse, o_, d_, t_min, ti_)[0]
-            return _flash_rl(planes, o_, d_, t_min, ti_, reach_cap=cap)
+        def coarse_cap(o_, d_, ti_):
+            if planes.coarse is None:
+                return None
+            # phase 1: subset intersection — its t is a valid upper
+            # bound on the true winner's t (see _COARSE)
+            return _flash_rl(planes.coarse, o_, d_, t_min, ti_)[0]
 
-        if _SORT and planes.planes.shape[1] >= _SORT_MIN_CHUNKS:
-            # coherence sort (see _SORT): per-ray results are exactly
-            # permutation-invariant (ascending-chunk-id tie-break holds
-            # in every block), so inverse-permuting restores the
-            # unsorted call's outputs bit for bit
-            perm, inv = _ray_sort_perm(planes.bounds, o, d)
-            t, idx, hit, uv = run_rl(o[perm], d[perm], ti[perm, 0])
+        if sort_on and _SORT_MODE == "reach":
+            # Reach-sort: the block work list is the UNION of its 128
+            # rays' reachable sets; at goat scale unions saturate (~85%
+            # of chunks even with exact per-ray culling — hardware
+            # ablation, PERF.md r3) because 128 divergent rays x ~tens
+            # of chunks each covers everything. Sorting rays by the
+            # CENTROID of their own reachable-chunk ids (BVH order =
+            # spatial order) packs rays with overlapping sets into the
+            # same block — the union collapses toward the per-ray set
+            # size. The reach matrix is what the prepass computes
+            # anyway; the extra cost is its n-row permute + the key.
+            # Per-ray results are exactly permutation-invariant
+            # (ascending-chunk-id tie-break holds in every block).
+            cap = coarse_cap(o, d, ti[:, 0])
+            # group-granular reach when group bounds exist: the (n, G)
+            # slab matrix is _GRP x cheaper to compute, key and permute
+            # than (n, C), and with reach-coherent blocks the group
+            # expansion's chunk-visit inflation is small
+            if planes.group_bounds is not None:
+                rbounds = planes.group_bounds
+                grp = -(-planes.planes.shape[1]
+                        // planes.group_bounds.shape[0])
+            else:
+                rbounds, grp = planes.bounds, 1
+            reach = _ray_chunk_reach(
+                rbounds, o, d, ti[:, 0] if cap is None else cap, t_min)
+            C = reach.shape[1]
+            iota = jnp.arange(C, dtype=jnp.float32)[None, :]
+            cnt = jnp.sum(reach, axis=1)
+            cen = (jnp.sum(jnp.where(reach, iota, 0.0), axis=1)
+                   / jnp.maximum(cnt.astype(jnp.float32), 1.0))
+            key = (jnp.round(cen).astype(jnp.int32) * 2048
+                   + jnp.minimum(cnt, 2047))
+            perm = jnp.argsort(key, stable=True).astype(jnp.int32)
+            inv = jnp.zeros_like(perm).at[perm].set(
+                jax.lax.iota(jnp.int32, perm.shape[0]))
+            wl, nw = _block_worklists(reach[perm], o.shape[0] // LANE)
+            t, idx, hit, uv = _flash_rl(
+                planes, o[perm], d[perm], t_min, ti[perm, 0],
+                worklists=(wl, nw, grp))
             return t[inv], idx[inv], hit[inv], uv[inv]
-        return run_rl(o, d, ti[:, 0])
+        if sort_on:
+            # morton mode: origin cell + direction octant key (see
+            # _ray_sort_perm); weaker clustering, cheaper key
+            perm, inv = _ray_sort_perm(planes.bounds, o, d)
+            o_, d_, ti_ = o[perm], d[perm], ti[perm, 0]
+            t, idx, hit, uv = _flash_rl(
+                planes, o_, d_, t_min, ti_,
+                reach_cap=coarse_cap(o_, d_, ti_))
+            return t[inv], idx[inv], hit[inv], uv[inv]
+        return _flash_rl(planes, o, d, t_min, ti[:, 0],
+                         reach_cap=coarse_cap(o, d, ti[:, 0]))
     if _XLA_WL:
         # exact per-ray chunk reachability computed in XLA, OR-reduced
         # per block and fed in as an SMEM work list (one (1, C) row per

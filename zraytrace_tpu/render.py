@@ -48,7 +48,11 @@ _BIG = np.float32(3.4e38)  # numpy scalar: no backend init at import
 # 5.40M, 16x32 5.28M rays/s (PERF.md round 3).
 import os as _os
 
-TILE_W = int(_os.environ.get("ZRAYTRACE_TILE_W", "32"))
+# 16x32 tiles locked in round 3: teapot 10.75M vs 10.60M (the +1%
+# repeatable round-2 lead, now default) and goat-class +4% (1793k vs
+# 1723k) — the cache-churn concern that deferred it is gone (the cache
+# rebuilds each round anyway).
+TILE_W = int(_os.environ.get("ZRAYTRACE_TILE_W", "16"))
 TILE_H = 512 // TILE_W
 assert TILE_W * TILE_H == 512, TILE_W
 
