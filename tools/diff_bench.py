@@ -1,0 +1,233 @@
+#!/usr/bin/env python
+"""Differentiable-path benchmark: train-step time + effective ray rate.
+
+The verdict's gap: render_diff/fit had no recorded cost at realistic
+sizes, so BASELINE config 5 ("recover sphere positions + albedo from
+target") had no number. This tool times one jitted Adam
+value-and-grad step on two workloads and writes DIFF_BENCH.json next
+to BENCH_r*.json / GRAD_REPORT.json:
+
+- ``sphere_albedo_fit``: the full 7-spheres showcase scene
+  (scenes.zig:54-100) with gradients into every Scene leaf (centers,
+  radii, IORs, texture colors, atlas texels) + camera-facing edge
+  terms — the BASELINE config-5 workload.
+- ``teapot_pose_fit``: the 6,320-triangle teapot (scenes.zig:206-232)
+  through the winner-recompute mesh split (diff_trace.py) with
+  silhouette edge terms — the mesh-scale fit of examples/mesh_fit.py.
+
+Ray accounting is exact, not estimated: the RNG is a stateless hash of
+(pixel, sample, bounce), so the differentiable scan path traces
+bit-identical paths to the wavefront engine (tests compare their
+images); ``render()`` at the identical (seed, W, H, spp, depth) yields
+the step's true forward ray count from the on-device counters.
+``eff_rays_per_s`` = that count / step wall — rays pushed through
+forward AND backward per second.
+
+    python tools/diff_bench.py [--cpu] [--steps 10] [--out DIFF_BENCH.json]
+"""
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+
+def _time_steps(step, init_args, n_steps):
+    """Jitted-step timing: compile+first step separately, then the mean
+    of ``n_steps`` warm steps (each synced through a scalar readback —
+    block_until_ready alone does not reliably wait through the relay)."""
+    import jax
+
+    t0 = time.time()
+    state = step(*init_args)
+    _ = float(np.asarray(state[-1]))  # sync
+    compile_s = time.time() - t0
+    t0 = time.time()
+    for _i in range(n_steps):
+        state = step(*state[:-1])
+        val = state[-1]
+    _ = float(np.asarray(val))
+    return compile_s, (time.time() - t0) / n_steps
+
+
+def bench_sphere_albedo(size, spp, depth, steps, seed=42):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from zraytrace_tpu.config import RenderParams
+    from zraytrace_tpu.inverse import (image_loss, merge_scene,
+                                       split_scene)
+    from zraytrace_tpu.render import render
+    from zraytrace_tpu.render_diff import render_diff
+    from zraytrace_tpu.scenes import build_scene
+
+    built = build_scene(1)  # threeBalls — the 7-spheres showcase
+    scene, camera = built.scene, built.camera
+    params, static = split_scene(scene)
+
+    # exact forward ray count at this config (identical streams)
+    _, stats = render(scene, camera, RenderParams(
+        width=size, height=size, samples_per_pixel=spp, max_depth=depth,
+        seed=seed))
+    rays = stats.rays
+
+    target = jnp.zeros((size, size, 3), jnp.float32)
+
+    def loss_fn(p):
+        img = render_diff(merge_scene(p, static), camera, size, size,
+                          spp, depth, seed=seed, edge_eps=(0.01, 0.02))
+        return image_loss(img, target)
+
+    opt = optax.adam(1e-2)
+
+    @jax.jit
+    def step(p, o):
+        val, g = jax.value_and_grad(loss_fn)(p)
+        upd, o = opt.update(g, o)
+        return optax.apply_updates(p, upd), o, val
+
+    compile_s, step_s = _time_steps(step, (params, opt.init(params)),
+                                    steps)
+    return dict(
+        config=dict(scene="threeBalls(1)", width=size, height=size,
+                    spp=spp, depth=depth, seed=seed,
+                    edge_eps=[0.01, 0.02],
+                    grads="all Scene leaves (centers, radii, IORs, "
+                          "texture colors, atlas texels)"),
+        rays_forward=rays,
+        step_seconds=round(step_s, 4),
+        compile_seconds=round(compile_s, 1),
+        eff_rays_per_s=round(rays / step_s),
+        pixel_samples_per_s=round(size * size * spp / step_s),
+    )
+
+
+def bench_teapot_pose(size, spp, depth, steps, seed=42):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from zraytrace_tpu import scene as sc
+    from zraytrace_tpu.camera import make_camera
+    from zraytrace_tpu.config import RenderParams
+    from zraytrace_tpu.geometry.bvh import build_tri_bvh
+    from zraytrace_tpu.io.obj import read_obj
+    from zraytrace_tpu.ops.flash_intersect import pack_tri_planes
+    from zraytrace_tpu.render import render
+    from zraytrace_tpu.render_diff import render_diff
+    from zraytrace_tpu.scene import SceneBuilder
+    from zraytrace_tpu.scenes import assets_dir
+
+    model = read_obj(assets_dir() / "teapot/teapot.obj")
+    a0, b0, c0 = (np.asarray(x) for x in model.tri_vertices)
+    bld = SceneBuilder()
+    green = bld.add_lambertian_color(sc.COLOR_GREEN)
+    bld.add_sphere((0.0, -102.33, 7.0), 100.0, green)
+    red = bld.add_lambertian_color((0.7, 0.15, 0.1))
+    bld.add_triangles(a0, b0, c0, red)
+    base = bld.build()
+    camera = make_camera((0.0, 3.0, -9.0), (0.0, 1.0, 5.0),
+                         (0.0, 1.0, 0.0), 50.0, 1.0)
+    order = build_tri_bvh(base.tri_a, base.tri_b, base.tri_c).prim_order
+
+    _, stats = render(base, camera, RenderParams(
+        width=size, height=size, samples_per_pixel=spp, max_depth=depth,
+        seed=seed))
+    rays = stats.rays
+
+    def image_at(off):
+        scene = base._replace(tri_a=base.tri_a + off,
+                              tri_b=base.tri_b + off,
+                              tri_c=base.tri_c + off)
+        tri_flash = pack_tri_planes(scene.tri_a, scene.tri_b,
+                                    scene.tri_c, order=order)
+        return render_diff(scene, camera, size, size, spp, depth,
+                           seed=seed, mesh_fast=True,
+                           tri_flash=tri_flash,
+                           edge_eps=(0.015, 0.03),
+                           edge_occlusion=False)
+
+    target = jax.lax.stop_gradient(
+        image_at(jnp.zeros((3,), jnp.float32)))
+
+    def loss_fn(off):
+        return jnp.mean((image_at(off) - target) ** 2)
+
+    opt = optax.adam(2e-2)
+
+    @jax.jit
+    def step(off, o):
+        val, g = jax.value_and_grad(loss_fn)(off)
+        upd, o = opt.update(g, o)
+        return optax.apply_updates(off, upd), o, val
+
+    off0 = jnp.asarray([0.25, -0.18, 0.22], jnp.float32)
+    compile_s, step_s = _time_steps(step, (off0, opt.init(off0)), steps)
+    return dict(
+        config=dict(scene="teapot+ground", triangles=int(base.n_triangles),
+                    width=size, height=size, spp=spp, depth=depth,
+                    seed=seed, edge_eps=[0.015, 0.03],
+                    grads="pose (translation) via winner-recompute "
+                          "mesh split + flash winner pass"),
+        rays_forward=rays,
+        step_seconds=round(step_s, 4),
+        compile_seconds=round(compile_s, 1),
+        eff_rays_per_s=round(rays / step_s),
+        pixel_samples_per_s=round(size * size * spp / step_s),
+    )
+
+
+def compute_report(steps=10, sphere=(128, 8, 10), teapot=(64, 8, 4),
+                   verbose=True):
+    report = {"workloads": {}}
+    for name, fn, (size, spp, depth) in (
+            ("sphere_albedo_fit", bench_sphere_albedo, sphere),
+            ("teapot_pose_fit", bench_teapot_pose, teapot)):
+        entry = fn(size, spp, depth, steps)
+        report["workloads"][name] = entry
+        if verbose:
+            print(f"  {name}: {entry['step_seconds']*1e3:.0f} ms/step, "
+                  f"{entry['eff_rays_per_s']/1e6:.2f}M eff rays/s "
+                  f"(fwd rays {entry['rays_forward']})", file=sys.stderr,
+                  flush=True)
+    return report
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--out", default="DIFF_BENCH.json")
+    args = ap.parse_args()
+    if args.cpu:
+        from zraytrace_tpu.runtime import force_cpu
+
+        force_cpu()
+    else:
+        from zraytrace_tpu.runtime import enable_compilation_cache
+
+        enable_compilation_cache()
+    import jax
+
+    t0 = time.time()
+    report = compute_report(steps=args.steps)
+    report["wall_seconds"] = round(time.time() - t0, 1)
+    report["device"] = jax.devices()[0].device_kind
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=1)
+    w = report["workloads"]
+    print(json.dumps({
+        "metric": "diff_step_eff_rays_per_s",
+        "value": w["sphere_albedo_fit"]["eff_rays_per_s"],
+        "unit": "rays/s (fwd+bwd)",
+        "teapot_pose_fit": w["teapot_pose_fit"]["eff_rays_per_s"],
+    }))
+
+
+if __name__ == "__main__":
+    main()
