@@ -307,3 +307,23 @@ def test_use_pallas_auto_resolution():
     img_o, st_o = render(scene, camera, p_off)
     np.testing.assert_array_equal(np.asarray(img_a), np.asarray(img_o))
     assert st_a.rays == st_o.rays
+
+
+def test_wavefront_groups_auto_policy():
+    """wavefront_sample_groups=None resolves by mesh scale: G=4 at goat
+    scale (>= 32768 triangles, straggler-bound dispatches — hardware
+    +11%, PERF.md round 3), G=1 below; explicit ints force; always
+    clamped to spp."""
+    from types import SimpleNamespace
+
+    from zraytrace_tpu.render import wavefront_groups
+
+    p_auto = RenderParams()
+    small = SimpleNamespace(n_triangles=6320)   # teapot-size
+    goat = SimpleNamespace(n_triangles=158000)  # goat-size
+    assert wavefront_groups(p_auto, small, spp=64) == 1
+    assert wavefront_groups(p_auto, goat, spp=64) == 4
+    assert wavefront_groups(p_auto, goat, spp=2) == 2  # spp clamp
+    p_forced = RenderParams(wavefront_sample_groups=2)
+    assert wavefront_groups(p_forced, small, spp=64) == 2
+    assert wavefront_groups(p_forced, goat, spp=64) == 2

@@ -68,7 +68,9 @@ def main():
     # sample-group interleave (render.py wavefront_trace sample_groups):
     # goat dispatches are occupancy-bound (straggler lanes), so
     # splitting each pixel's spp across G lane windows cuts tail waste
-    ap.add_argument("--xgroups", type=int, default=1)
+    # (512px spp64: 1890k at G=1 -> 2093k at G=4). 0 = the product
+    # policy (render.wavefront_groups: G=4 at >= 32768 triangles).
+    ap.add_argument("--xgroups", type=int, default=0)
     args = ap.parse_args()
 
     from zraytrace_tpu.geometry.bvh import build_tri_bvh
@@ -78,6 +80,13 @@ def main():
     scene, camera = build_goat_class_scene()
     print(f"synthetic goat-class scene: {scene.n_triangles} triangles",
           file=sys.stderr, flush=True)
+    if args.xgroups == 0:
+        from zraytrace_tpu.config import RenderParams
+        from zraytrace_tpu.render import wavefront_groups
+
+        args.xgroups = wavefront_groups(RenderParams(), scene, args.spp)
+        print(f"xgroups auto -> {args.xgroups}", file=sys.stderr,
+              flush=True)
 
     t0 = time.time()
     order = build_tri_bvh(scene.tri_a, scene.tri_b, scene.tri_c).prim_order

@@ -80,10 +80,15 @@ class RenderParams:
     pallas_mesh: bool | None = None
     # Sample-interleave for the XLA wavefront (mesh scenes): same
     # rotated-base schedule, implemented in the XLA loop. Spreads heavy
-    # pixels' samples over G lanes, cutting lockstep occupancy waste
-    # (teapot measured 2.02 lane-steps/ray at G=1). Default 1 keeps the
-    # historical float summation order for oracle-exact tests.
-    wavefront_sample_groups: int = 1
+    # pixels' samples over G lanes, cutting lockstep occupancy waste.
+    # None = auto (render.wavefront_groups): G=4 for goat-scale meshes
+    # (>= 32768 triangles), where dispatches are straggler-bound and the
+    # interleave is hardware-measured +11% (1.89M -> 2.09M rays/s,
+    # PERF.md round 3); G=1 below that — teapot-size interleave was a
+    # measured loss (fold + regen overhead, PERF.md round 2) and G=1
+    # keeps the historical float summation order for oracle-exact
+    # tests. An explicit int forces the factor on any scene.
+    wavefront_sample_groups: int | None = None
     # Minimum triangle count before the gather-bound BVH traversal is
     # used instead of the streaming flash kernel. Counterintuitive TPU
     # result (PERF.md): random-index gathers cost ~5ns/row, so lockstep

@@ -235,7 +235,9 @@ def render_sharded(
         from zraytrace_tpu.scene import material_classes
 
         mat_classes = material_classes(scene)
-    xg = (max(1, min(params.wavefront_sample_groups, spp_local))
+    from zraytrace_tpu.render import wavefront_groups
+
+    xg = (wavefront_groups(params, scene, spp_local)
           if tile_coherent else 1)
     fn = _sharded_wavefront(
         mesh, n_slots, use_pallas, params.pallas_bounces,

@@ -554,6 +554,18 @@ def mesh_pallas_wanted(params: RenderParams, scene: Scene,
             and n_pixels < (1 << 22))
 
 
+def wavefront_groups(params: RenderParams, scene: Scene, spp: int) -> int:
+    """Resolve the XLA-wavefront sample-interleave policy (config.py),
+    shared by ``render()`` and ``render_sharded`` so the two entry
+    points never drift: auto (None) interleaves G=4 at goat scale
+    (>= 32768 triangles — straggler-bound dispatches, hardware-measured
+    +11%), G=1 below; an explicit int forces. Clamped to spp."""
+    g = params.wavefront_sample_groups
+    if g is None:
+        g = 4 if scene.n_triangles >= 32768 else 1
+    return max(1, min(g, spp))
+
+
 def pallas_r_blk(n_lanes: int, r_blk: int) -> int:
     """Largest megakernel grid-block row count <= ``r_blk`` that divides
     the wavefront's lane rows (rows = n_lanes // 128) AND satisfies
@@ -679,7 +691,7 @@ def render(scene: Scene, camera: cam.Camera, params: RenderParams):
             tri_flash=tri_flash if mesh_pallas else None,
         )
     else:
-        xg = max(1, min(params.wavefront_sample_groups, spp))
+        xg = wavefront_groups(params, scene, spp)
         sums, counters = _wavefront_jit(
             scene, camera, base, params.seed, w, h, spp, params.max_depth,
             0, tri_bvh, n_lanes, n_pixels, n_slots, tri_flash,
