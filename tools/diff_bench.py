@@ -15,13 +15,14 @@ to BENCH_r*.json / GRAD_REPORT.json:
   through the winner-recompute mesh split (diff_trace.py) with
   silhouette edge terms — the mesh-scale fit of examples/mesh_fit.py.
 
-Ray accounting is exact, not estimated: the RNG is a stateless hash of
-(pixel, sample, bounce), so the differentiable scan path traces
-bit-identical paths to the wavefront engine (tests compare their
-images); ``render()`` at the identical (seed, W, H, spp, depth) yields
-the step's true forward ray count from the on-device counters.
-``eff_rays_per_s`` = that count / step wall — rays pushed through
-forward AND backward per second.
+Ray accounting is exact at the step-0 scene parameters: the RNG is a
+stateless hash of (pixel, sample, bounce), so the differentiable scan
+path traces bit-identical paths to the wavefront engine (tests compare
+their images); ``render()`` at the identical (seed, W, H, spp, depth)
+and the optimizer's INITIAL parameters yields step 0's true forward
+ray count from the on-device counters. Later steps mutate the scene,
+so their forward counts drift slightly — ``eff_rays_per_s`` (= the
+step-0 count / mean step wall) is anchored to the initial config.
 
     python tools/diff_bench.py [--cpu] [--steps 10] [--out DIFF_BENCH.json]
 """
@@ -135,7 +136,13 @@ def bench_teapot_pose(size, spp, depth, steps, seed=42):
                          (0.0, 1.0, 0.0), 50.0, 1.0)
     order = build_tri_bvh(base.tri_a, base.tri_b, base.tri_c).prim_order
 
-    _, stats = render(base, camera, RenderParams(
+    # forward ray count at the optimizer's INITIAL pose (off0 below),
+    # not the target pose — the docstring's step-0 anchoring
+    off0_np = np.asarray([0.25, -0.18, 0.22], np.float32)
+    scene0 = base._replace(tri_a=base.tri_a + off0_np,
+                           tri_b=base.tri_b + off0_np,
+                           tri_c=base.tri_c + off0_np)
+    _, stats = render(scene0, camera, RenderParams(
         width=size, height=size, samples_per_pixel=spp, max_depth=depth,
         seed=seed))
     rays = stats.rays
@@ -166,7 +173,7 @@ def bench_teapot_pose(size, spp, depth, steps, seed=42):
         upd, o = opt.update(g, o)
         return optax.apply_updates(off, upd), o, val
 
-    off0 = jnp.asarray([0.25, -0.18, 0.22], jnp.float32)
+    off0 = jnp.asarray(off0_np)
     compile_s, step_s = _time_steps(step, (off0, opt.init(off0)), steps)
     return dict(
         config=dict(scene="teapot+ground", triangles=int(base.n_triangles),

@@ -87,7 +87,12 @@ class RenderParams:
     # PERF.md round 3); G=1 below that — teapot-size interleave was a
     # measured loss (fold + regen overhead, PERF.md round 2) and G=1
     # keeps the historical float summation order for oracle-exact
-    # tests. An explicit int forces the factor on any scene.
+    # tests. An explicit int forces the factor on any scene (but
+    # non-tile-coherent paths always run G=1 — render.wavefront_groups).
+    # NOTE: the None default changes image BITS (float summation order
+    # only; streams/counters unchanged) at >= 32768 triangles vs
+    # pre-round-3 builds — reproducing those goat-scale images needs an
+    # explicit wavefront_sample_groups=1.
     wavefront_sample_groups: int | None = None
     # Minimum triangle count before the gather-bound BVH traversal is
     # used instead of the streaming flash kernel. Counterintuitive TPU

@@ -237,8 +237,7 @@ def render_sharded(
         mat_classes = material_classes(scene)
     from zraytrace_tpu.render import wavefront_groups
 
-    xg = (wavefront_groups(params, scene, spp_local)
-          if tile_coherent else 1)
+    xg = wavefront_groups(params, scene, spp_local, tile_coherent)
     fn = _sharded_wavefront(
         mesh, n_slots, use_pallas, params.pallas_bounces,
         r_blk=(pallas_r_blk(n_lanes // n_data, params.pallas_r_blk)

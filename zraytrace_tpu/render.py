@@ -554,12 +554,22 @@ def mesh_pallas_wanted(params: RenderParams, scene: Scene,
             and n_pixels < (1 << 22))
 
 
-def wavefront_groups(params: RenderParams, scene: Scene, spp: int) -> int:
+def wavefront_groups(params: RenderParams, scene: Scene, spp: int,
+                     tile_coherent: bool = True) -> int:
     """Resolve the XLA-wavefront sample-interleave policy (config.py),
     shared by ``render()`` and ``render_sharded`` so the two entry
     points never drift: auto (None) interleaves G=4 at goat scale
     (>= 32768 triangles — straggler-bound dispatches, hardware-measured
-    +11%), G=1 below; an explicit int forces. Clamped to spp."""
+    +11%), G=1 below; an explicit int forces. Clamped to spp.
+
+    Non-tile-coherent paths (CPU brute, BVH traversal) always resolve
+    G=1 — render_sharded's padded lane ids break the rotation's
+    contiguous-base requirement there, so a G>1 single-device render
+    would differ from the sharded one in float summation order. Gating
+    BOTH entry points here keeps them bit-identical (the interleave's
+    +11% was measured on the tile-coherent flash path only)."""
+    if not tile_coherent:
+        return 1
     g = params.wavefront_sample_groups
     if g is None:
         g = 4 if scene.n_triangles >= 32768 else 1
@@ -691,7 +701,7 @@ def render(scene: Scene, camera: cam.Camera, params: RenderParams):
             tri_flash=tri_flash if mesh_pallas else None,
         )
     else:
-        xg = wavefront_groups(params, scene, spp)
+        xg = wavefront_groups(params, scene, spp, tile_coherent)
         sums, counters = _wavefront_jit(
             scene, camera, base, params.seed, w, h, spp, params.max_depth,
             0, tri_bvh, n_lanes, n_pixels, n_slots, tri_flash,
