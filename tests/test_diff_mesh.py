@@ -157,3 +157,27 @@ def test_flash_winner_grads_finite():
     gv = np.asarray(g["tri_a"])
     assert np.all(np.isfinite(gv))
     assert np.abs(gv).max() > 0.0
+
+
+def test_fit_tri_order_routes_flash_same_grads():
+    """inverse.make_loss_fn(tri_order=...) — the auto-routing fit()
+    engages on TPU — must produce the same loss and the same gradients
+    as the brute winner pass (the flash winner pass picks identical
+    winners; plane repacking happens from the traced vertices)."""
+    from zraytrace_tpu.geometry.bvh import build_tri_bvh
+    from zraytrace_tpu.inverse import make_loss_fn
+
+    scene, camera = _mesh_scene()
+    params, static = split_scene(scene)
+    w, h = 32, 16  # 512 lanes: the flash pass's alignment grain
+    target = jnp.zeros((h, w, 3), jnp.float32)
+    order = build_tri_bvh(scene.tri_a, scene.tri_b,
+                          scene.tri_c).prim_order
+
+    args = (static, camera, target, w, h, 2, 3)
+    g_brute = jax.grad(make_loss_fn(*args, seed=5))(params)
+    g_flash = jax.grad(make_loss_fn(*args, seed=5, tri_order=order))(params)
+    for k in g_brute:
+        np.testing.assert_allclose(
+            np.asarray(g_brute[k]), np.asarray(g_flash[k]),
+            rtol=2e-4, atol=1e-6, err_msg=k)

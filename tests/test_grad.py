@@ -61,7 +61,13 @@ def test_grad_matches_finite_difference(field, index):
 
     def loss(p):
         s = merge_scene(p, static)
-        img = render_diff(s, camera, w, h, spp, depth, seed=3)
+        # branch_grad off: this test checks the FIXED-TOPOLOGY path
+        # derivative against tiny-step FD (no branch flips inside
+        # +-eps). The stochastic-branch REINFORCE term (on by default)
+        # is validated separately by test_branch_grad_isolation and
+        # GRAD_REPORT's large-step paired-bandwidth FD.
+        img = render_diff(s, camera, w, h, spp, depth, seed=3,
+                          branch_grad=False)
         return jnp.mean(img)
 
     g = jax.grad(loss)(params)
@@ -174,3 +180,33 @@ def test_camera_pose_recovery_fd():
                                - np.asarray(true_from)))
     assert loss1 < loss0 * 0.5, (loss0, loss1)
     assert err < 0.15, err
+
+
+def test_branch_grad_isolation():
+    """The Fresnel-branch REINFORCE estimator (on by default) must be
+    (a) forward-invisible: images bit-identical with it on or off;
+    (b) variance-isolated: every gradient EXCEPT mat_ior bit-identical
+    with it on or off (materials.scatter stop-grads the geometry inputs
+    of log P); (c) live: the ior gradient changes and stays finite."""
+    scene, camera = _simple_scene(with_glass=True)
+    params, static = split_scene(scene)
+    w = h = 8
+
+    def img_at(p, bg):
+        return render_diff(merge_scene(p, static), camera, w, h, 4, 4,
+                           seed=7, branch_grad=bg)
+
+    img_on = np.asarray(img_at(params, True))
+    img_off = np.asarray(img_at(params, False))
+    np.testing.assert_array_equal(img_on, img_off)
+
+    g_on = jax.grad(lambda p: jnp.mean(img_at(p, True)))(params)
+    g_off = jax.grad(lambda p: jnp.mean(img_at(p, False)))(params)
+    for k in g_on:
+        if k == "mat_ior":
+            continue
+        np.testing.assert_array_equal(
+            np.asarray(g_on[k]), np.asarray(g_off[k]), err_msg=k)
+    assert np.isfinite(np.asarray(g_on["mat_ior"])).all()
+    assert not np.array_equal(np.asarray(g_on["mat_ior"]),
+                              np.asarray(g_off["mat_ior"]))

@@ -136,17 +136,18 @@ def compute_report(width=64, height=64, spp=128, seed=42, verbose=True,
         lf = jnp.asarray(look_from)
 
         # the Fresnel-branch score estimator (materials.scatter
-        # branch_grad) is unbiased but adds variance to every other
-        # class's gradient — enable it only where its signal lives
-        bg = name == "ior"
+        # branch_grad) defaults ON since round 4: it is variance-
+        # isolated to mat_ior (every other class's gradient is
+        # bit-identical with it on or off) and baseline-subtracted
+        # (render_diff running mean), so no per-class toggle is needed
 
-        def make_loss(e, _bg=bg):
+        def make_loss(e):
             def loss(p, lfv):
                 cam = make_camera(lfv, (0, 0, 1.0), (0, 1.0, 0),
                                   45.0, 1.0)
                 img = render_diff(merge_scene(p, static), cam, width,
                                   height, cspp, depth, seed=seed,
-                                  edge_eps=e, branch_grad=_bg)
+                                  edge_eps=e)
                 return image_loss(img, target)
             return loss
 

@@ -65,6 +65,14 @@ def render_scene(scene_idx, outdir, spp=None, size=None, depth=None,
             const_materials=mesh_materials_const(scene))
         tile = True
 
+    if not tile and chunk_spp == 25:
+        # sphere scenes finish far inside the ~2-min relay deadline:
+        # one dispatch, one image fetch. The old 25-spp default paid
+        # ~40 x 12 MB slot-sum transfers through the relay tunnel —
+        # the whole "render() is 15% below bench" gap (round-3
+        # verdict) was this tool's methodology, not the engine.
+        chunk_spp = spp
+
     n_pix = size * size
     if tile:
         from zraytrace_tpu.render import TILE_H, TILE_W

@@ -50,17 +50,33 @@ def image_loss(img, target):
 
 
 def make_loss_fn(static, camera, target, width, height, spp, max_depth,
-                 seed=42, edge_eps=None):
+                 seed=42, edge_eps=None, tri_order=None):
     """Single-device differentiable loss over the full image.
 
     ``edge_eps`` enables edge-aware silhouette gradients (edge_grad.py):
     the loss VALUE is unchanged, its gradient gains visibility terms.
+
+    ``tri_order``: BVH-leaf triangle permutation (from the initial
+    vertices). When set, the loss repacks flash planes from the CURRENT
+    (possibly traced) vertices each evaluation and routes the mesh
+    winner pass through the flash kernel — chunk bounds always come
+    from the actual vertices so correctness is order-independent; only
+    chunk tightness decays as the geometry drifts from the order's
+    snapshot. ``fit`` fills this automatically on TPU (VERDICT round-3
+    item 6: no more silent brute O(N*T) winner scans at teapot scale).
     """
 
     def loss_fn(params):
         scene = merge_scene(params, static)
+        tf = None
+        if tri_order is not None:
+            from zraytrace_tpu.ops.flash_intersect import pack_tri_planes
+
+            tf = pack_tri_planes(scene.tri_a, scene.tri_b, scene.tri_c,
+                                 order=tri_order)
         img = render_diff(scene, camera, width, height, spp, max_depth,
-                          seed=seed, edge_eps=edge_eps)
+                          seed=seed, edge_eps=edge_eps, tri_flash=tf,
+                          mesh_fast=True if tf is not None else None)
         return image_loss(img, target)
 
     return loss_fn
@@ -148,8 +164,19 @@ def fit(
         optax.masked(optax.set_to_zero(), {f: not m for f, m in mask.items()}),
     )
     opt_state = optimizer.init(params)
+    # mesh-scale fits route the winner pass through the flash kernel
+    # (make_loss_fn tri_order) — the order comes from the initial
+    # geometry, the per-step repack from the traced one
+    tri_order = None
+    if (scene_init.n_triangles >= 64 and (width * height) % 512 == 0
+            and jax.default_backend() == "tpu"):
+        from zraytrace_tpu.geometry.bvh import build_tri_bvh
+
+        tri_order = build_tri_bvh(scene_init.tri_a, scene_init.tri_b,
+                                  scene_init.tri_c).prim_order
     loss_fn = make_loss_fn(static, camera, target, width, height, spp,
-                           max_depth, seed, edge_eps=edge_eps)
+                           max_depth, seed, edge_eps=edge_eps,
+                           tri_order=tri_order)
     loss_jit = jax.jit(loss_fn)
     vg_jit = jax.jit(jax.value_and_grad(loss_fn))
 

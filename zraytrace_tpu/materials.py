@@ -31,6 +31,15 @@ from zraytrace_tpu.textures import texture_albedo
 # geometric silhouette bandwidths in edge_grad.py.
 TIR_EPS = 0.01
 
+# Probe-only (tools/): when set to a float, the dielectric BRANCH
+# decisions (Schlick test + total-internal-reflection threshold) are
+# evaluated at this fixed IOR while the path math (refraction bending)
+# keeps the scene's. Finite differences with this frozen isolate the
+# smooth path derivative from the branch-flip contribution — the
+# decomposition used to attribute gradient-estimator error. Never set
+# in library code.
+_FREEZE_BRANCH_IOR = None
+
 
 def schlick_reflectance(cosine, ref_ratio):
     """material.zig:125-127 (unsquared r0 — see module docstring)."""
@@ -52,17 +61,25 @@ def scatter(scene: sc.Scene, d_in, normal, front_face, uv, mat_id, rnd,
       rnd: ``(N, 4)`` U[0,1) uniforms: [0:2] lambertian direction,
         [2] dielectric Fresnel test, [3] spare.
       branch_grad: score-function gradient for the stochastic Fresnel
-        branch (material.zig:117): the dielectric attenuation is
-        multiplied by ``w / stop_grad(w)`` with ``w`` the probability of
-        the branch actually taken (Schlick reflectance or its
-        complement). Exactly 1.0 forward; the backward pass gains the
-        exact (unbiased, bandwidth-free) derivative of the branch
-        probabilities w.r.t. IOR — the REINFORCE estimator for this
-        discrete choice. Off by default (the fast forward paths skip
-        the extra ops); render_diff turns it on.
+        branch (material.zig:117). When True, a fourth return value
+        ``log_w`` carries ``log P(branch taken)`` (Schlick reflectance
+        or its complement, with the total-internal-reflection threshold
+        sigmoid-relaxed) for dielectric lanes, zero elsewhere. The
+        caller (render_diff.trace_paths) accumulates it along the path
+        and adds the baseline-subtracted REINFORCE term
+        ``(R - b) * d log_w`` at path termination — the unbiased,
+        bandwidth-free derivative of the branch probabilities w.r.t.
+        IOR. VARIANCE-ISOLATED: every input to ``log_w`` except the
+        IOR itself (``cos_theta``, ``sin_theta``) is stop-gradded, so
+        the score term reaches ONLY ``mat_ior`` — geometry/albedo/
+        camera gradients are bit-identical with it on or off (round-4
+        fix for the round-3 "adds variance to every other class"
+        toggle). Off by default (the fast forward paths skip the extra
+        ops); render_diff turns it on.
 
     Returns:
-      (new_dir ``(N,3)`` unit, attenuation ``(N,3)``, absorbed ``(N,)``).
+      (new_dir ``(N,3)`` unit, attenuation ``(N,3)``, absorbed ``(N,)``)
+      plus ``log_w (N,)`` when ``branch_grad`` is True.
     """
     # Per-lane material attributes via one one-hot (N,M)@(M,3) contraction
     # instead of three gathers (TPU gathers serialize; see perf_probe).
@@ -99,8 +116,13 @@ def scatter(scene: sc.Scene, d_in, normal, front_face, uv, mat_id, rnd,
     ratio = jnp.where(front_face, 1.0 / ior, ior)
     cos_theta = jnp.minimum(vm.dot(-d_in, normal), 1.0)
     sin_theta = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_theta * cos_theta))
-    cannot_refract = ratio * sin_theta > 1.0
-    refl = schlick_reflectance(cos_theta, ratio)
+    if _FREEZE_BRANCH_IOR is None:
+        ratio_b = ratio
+    else:  # probe-only decomposition (module constant docstring)
+        iorf = jnp.float32(_FREEZE_BRANCH_IOR)
+        ratio_b = jnp.where(front_face, 1.0 / iorf, iorf)
+    cannot_refract = ratio_b * sin_theta > 1.0
+    refl = schlick_reflectance(cos_theta, ratio_b)
     reflect_now = cannot_refract | (refl > rnd[:, 2])
     die_dir = jnp.where(
         reflect_now[:, None],
@@ -116,32 +138,34 @@ def scatter(scene: sc.Scene, d_in, normal, front_face, uv, mat_id, rnd,
 
     white = jnp.ones_like(albedo)
     attenuation = jnp.where(is_lam | is_met, albedo, white)
-    if branch_grad:
-        import jax
-
-        # Relaxed probability of the branch taken. Two discrete
-        # decisions move with IOR: the stochastic Schlick test
-        # (probability refl / 1-refl — its score-function derivative is
-        # exact) and the total-internal-reflection threshold
-        # ratio*sin_theta = 1 (material.zig:116), relaxed with a
-        # sigmoid of bandwidth TIR_EPS like the silhouette margins in
-        # edge_grad.py. Combined: P(reflect) = s + (1-s) R,
-        # P(refract) = (1-s)(1-R) with s the soft TIR indicator.
-        r_c = jnp.clip(refl, 1e-4, 1.0 - 1e-4)
-        # sin_theta's sqrt has an infinite derivative at 0 (normal
-        # incidence); before branch_grad nothing differentiated through
-        # it (it only fed a boolean). Double-where guard for the
-        # sigmoid's argument only — the branch decisions above keep the
-        # exact forward value.
-        sin2 = 1.0 - cos_theta * cos_theta
-        sin_g = jnp.sqrt(jnp.where(sin2 > 1e-8, sin2, 1.0))
-        sin_g = jnp.where(sin2 > 1e-8, sin_g, 0.0)
-        s = jax.nn.sigmoid((ratio * sin_g - 1.0) / TIR_EPS)
-        w = jnp.where(reflect_now, s + (1.0 - s) * r_c,
-                      (1.0 - s) * (1.0 - r_c))
-        w = jnp.maximum(w, 1e-6)
-        factor = w / jax.lax.stop_gradient(w)  # == 1.0 forward
-        attenuation = attenuation * jnp.where(
-            is_lam | is_met, 1.0, factor[:, None])
     absorbed = (mat_type == sc.METAL) & met_absorb
-    return new_dir, attenuation, absorbed
+    if not branch_grad:
+        return new_dir, attenuation, absorbed
+
+    import jax
+
+    sg = jax.lax.stop_gradient
+    # Relaxed probability of the branch taken. Two discrete decisions
+    # move with IOR: the stochastic Schlick test (probability refl /
+    # 1-refl — its score-function derivative is exact) and the
+    # total-internal-reflection threshold ratio*sin_theta = 1
+    # (material.zig:116), relaxed with a sigmoid of bandwidth TIR_EPS
+    # like the silhouette margins in edge_grad.py. Combined:
+    # P(reflect) = s + (1-s) R, P(refract) = (1-s)(1-R) with s the soft
+    # TIR indicator. Geometry inputs (cos/sin of the incidence angle)
+    # are stop-gradded — isolation, see docstring — so d log_w flows
+    # through ``ratio`` (hence mat_ior) alone.
+    cos_d = sg(cos_theta)
+    refl_d = schlick_reflectance(cos_d, ratio)
+    r_c = jnp.clip(refl_d, 1e-4, 1.0 - 1e-4)
+    # sin_theta's sqrt has an infinite derivative at 0 (normal
+    # incidence); it is stop-gradded anyway, but keep the guard so the
+    # forward value matches the branch decision's input exactly.
+    sin_g = sg(sin_theta)
+    s = jax.nn.sigmoid((ratio * sin_g - 1.0) / TIR_EPS)
+    w = jnp.where(reflect_now, s + (1.0 - s) * r_c,
+                  (1.0 - s) * (1.0 - r_c))
+    w = jnp.maximum(w, 1e-6)
+    is_die = ~(mat_type == sc.LAMBERTIAN) & ~(mat_type == sc.METAL)
+    log_w = jnp.where(is_die, jnp.log(w), 0.0)
+    return new_dir, attenuation, absorbed, log_w

@@ -181,7 +181,10 @@ SHARE_OFFS = tuple(
     .split(","))[:max(N_SHARE, 0)]
 N_CTOT = N_CACHE + N_SHARE
 N_STATE = 18 + 4 * N_CTOT
-N_LOCAL = 1 + K_TEX + 5 * M_REC
+# Records are 4 planes since round 4: (r, g, b, packed) with
+# packed = pixel slot | texel mask << 16 (-1 = free). One equality
+# drives both the free test and the PARK FOLD below.
+N_LOCAL = 1 + K_TEX + 4 * M_REC
 
 
 def make_bounce_kernel3(n_spheres: int, n_mats: int, shape,
@@ -223,8 +226,8 @@ def make_bounce_kernel3(n_spheres: int, n_mats: int, shape,
     Q_CACHE = Q_GB + n_gb
     Q_LOCAL = Q_CACHE + 4 * N_CTOT          # tmask
     Q_TEX = Q_LOCAL + 1                      # K_TEX slot indices
-    Q_REC = Q_TEX + K_TEX                    # M_REC x (r, g, b, slot, mask)
-    Q_BLOCKED = Q_REC + 5 * M_REC
+    Q_REC = Q_TEX + K_TEX                    # M_REC x (r, g, b, packed)
+    Q_BLOCKED = Q_REC + 4 * M_REC
     # mesh carry (has_mesh only): m_have (answer available for the
     # lane's current segment), m_req (sticky: blocked awaiting answer),
     # m_tbest (sphere-winner t at block time)
@@ -594,26 +597,50 @@ def make_bounce_kernel3(n_spheres: int, n_mats: int, shape,
             ag2 = jnp.where(finished, 0.0, ag2)
             ab2 = jnp.where(finished, 0.0, ab2)
 
-            # record chains: park first, then commit (a textured escape
-            # at window end needs BOTH — they land in different records)
+            # record chains: PARK FOLD, then park/commit allocation.
+            #
+            # A record's identity is packed = slot | mask << 16 (slot
+            # <= a few hundred, mask < 2^K_TEX; -1 = free). A park
+            # whose (slot, tmask) matches a live record SUMS its
+            # contribution into that record instead of allocating:
+            # the glue computes rgb * prod(tex[mask]) per record, and
+            # (A + B) * t vs A*t + B*t is the same multiply-order-only
+            # deviation class as the deferral itself (module
+            # docstring); counters and streams are untouched. This is
+            # the round-4 launch-stretch mechanism: a texture-dominated
+            # pixel's lane used to park once per ESCAPED SAMPLE with an
+            # identical mask — records filled within ~a dozen samples
+            # and pinned the launch; folded, those collapse to one
+            # record per distinct outstanding-mask pattern.
+            want_p = slot | (tmask << 16)
             parked = jnp.zeros(blk, jnp.bool_)
             committed = jnp.zeros(blk, jnp.bool_)
             recs2 = list(recs)
             for m in range(M_REC):
-                rr, rg, rb, rs_, rk = recs[5 * m:5 * m + 5]
-                free_m = rs_ < 0
+                rr, rg, rb, rp = recs[4 * m:4 * m + 4]
+                fold_m = park & ~parked & (rp == want_p)
+                recs2[4 * m + 0] = jnp.where(fold_m, rr + tr * skyr, rr)
+                recs2[4 * m + 1] = jnp.where(fold_m, rg + tg * skyg, rg)
+                recs2[4 * m + 2] = jnp.where(fold_m, rb + tb * skyb, rb)
+                parked = parked | fold_m
+            # allocation: park first, then commit (a textured escape at
+            # window end needs BOTH — they land in different records; a
+            # commit's packed id is its slot, mask 0, which can never
+            # collide with a park's nonzero mask)
+            for m in range(M_REC):
+                rr, rg, rb, rp = recs2[4 * m:4 * m + 4]
+                free_m = rp < 0
                 take_p = park & ~parked & free_m
                 free_m2 = free_m & ~take_p
                 take_c = commit & ~committed & free_m2
-                recs2[5 * m + 0] = jnp.where(
+                recs2[4 * m + 0] = jnp.where(
                     take_p, tr * skyr, jnp.where(take_c, com_r, rr))
-                recs2[5 * m + 1] = jnp.where(
+                recs2[4 * m + 1] = jnp.where(
                     take_p, tg * skyg, jnp.where(take_c, com_g, rg))
-                recs2[5 * m + 2] = jnp.where(
+                recs2[4 * m + 2] = jnp.where(
                     take_p, tb * skyb, jnp.where(take_c, com_b, rb))
-                recs2[5 * m + 3] = jnp.where(take_p | take_c, slot, rs_)
-                recs2[5 * m + 4] = jnp.where(
-                    take_p, tmask, jnp.where(take_c, jnp.int32(0), rk))
+                recs2[4 * m + 3] = jnp.where(
+                    take_p, want_p, jnp.where(take_c, slot, rp))
                 parked = parked | take_p
                 committed = committed | take_c
             park_block = park & ~parked
@@ -739,7 +766,7 @@ def make_bounce_kernel3(n_spheres: int, n_mats: int, shape,
         iz = jnp.zeros(blk, jnp.int32)
         init = (zero,) + tuple(r[:] for r in state_in) \
             + (iz,) + (neg1,) * K_TEX \
-            + (fz, fz, fz, neg1, iz) * M_REC \
+            + (fz, fz, fz, neg1) * M_REC \
             + (iz,) \
             + ((mh_ref[:], iz, fz) if has_mesh else ()) \
             + (zero,) * 6
@@ -770,12 +797,12 @@ def make_bounce_kernel3(n_spheres: int, n_mats: int, shape,
     st = lambda dt: jax.ShapeDtypeStruct((R_total, L), dt)
     # persistent state planes: 12 f32 + dep/samp/slot/pidx/baseg/swin
     # i32 + cache (idx i32 + rgb f32) x N_CACHE; then launch-local
-    # tmask i32 + texidx i32 x K_TEX + (rgb f32, slot i32, mask i32)
+    # tmask i32 + texidx i32 x K_TEX + (rgb f32, packed slot|mask i32)
     # x M_REC; counters
     state_dts = ([st(f32)] * 12 + [st(i32)] * (6 + n_gb)
                  + [st(i32), st(f32), st(f32), st(f32)] * N_CTOT)
     local_dts = ([st(i32)] + [st(i32)] * K_TEX
-                 + [st(f32), st(f32), st(f32), st(i32), st(i32)] * M_REC)
+                 + [st(f32), st(f32), st(f32), st(i32)] * M_REC)
     if has_mesh:
         local_dts = local_dts + [st(i32), st(f32)]  # m_req, m_tbest
     out_shape = tuple(
@@ -1024,7 +1051,7 @@ def wavefront_trace_pallas3(
         ll = outs[n_state:n_state + n_local]
         tmask_o = ll[0]
         tex_o = ll[1:1 + K_TEX]
-        recs_o = ll[1 + K_TEX:1 + K_TEX + 5 * M_REC]
+        recs_o = ll[1 + K_TEX:1 + K_TEX + 4 * M_REC]
         counts = outs[n_state + n_local]
 
         # the one gather per launch resolves every outstanding texel
@@ -1068,7 +1095,11 @@ def wavefront_trace_pallas3(
             p["tr"], p["tg"], p["tb"], tmask_o)
         resolved = []
         for m in range(M_REC):
-            rr, rg, rb, rs_, rk = recs_o[5 * m:5 * m + 5]
+            rr, rg, rb, rp = recs_o[4 * m:4 * m + 4]
+            # unpack slot | mask << 16 (-1 = free -> slot -1, mask 0)
+            occ = rp >= 0
+            rs_ = jnp.where(occ, rp & 0xFFFF, -1)
+            rk = jnp.where(occ, rp >> 16, 0)
             rr, rg, rb = mask_mul(rr, rg, rb, rk)
             resolved.append((rr, rg, rb, rs_))
 
@@ -1204,8 +1235,8 @@ def wavefront_trace_pallas3(
                 flash_intersect_triangles,
             )
 
-            mreq_o = ll[1 + K_TEX + 5 * M_REC]
-            mtb_o = ll[2 + K_TEX + 5 * M_REC]
+            mreq_o = ll[1 + K_TEX + 4 * M_REC]
+            mtb_o = ll[2 + K_TEX + 4 * M_REC]
             req = mreq_o.reshape(-1) > 0
             o3 = jnp.stack([p["ox"].reshape(-1), p["oy"].reshape(-1),
                             p["oz"].reshape(-1)], axis=-1)

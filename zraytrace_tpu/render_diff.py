@@ -50,6 +50,7 @@ def trace_paths(
     mesh_fast: bool | None = None,
     tri_flash=None,
     branch_grad: bool = False,
+    score_baseline=None,
 ):
     """Radiance of one path per lane, ``(N, 3)``.
 
@@ -72,6 +73,23 @@ def trace_paths(
     diff_trace.pack_for_diff) additionally runs the winner pass through
     the flash kernel when the lane count is 512-aligned — the TPU mesh
     fast path.
+
+    ``branch_grad``: REINFORCE gradient for the stochastic Fresnel
+    branch (material.zig:117). The per-bounce branch log-probabilities
+    (materials.scatter, variance-isolated to ``mat_ior``) accumulate
+    along each path; at path termination the radiance gains the
+    forward-zero term ``(stop(R) - b) * (score - stop(score))`` whose
+    backward pass is the baseline-subtracted score-function estimator
+    ``(R - b) d log P / d ior``. Zero-radiance terminations (absorb,
+    depth exhaustion) contribute their ``-b * d log P`` term too — the
+    estimator is unbiased only with them included.
+
+    ``score_baseline``: per-lane ``(N, 3)`` control variate ``b``
+    (stop-gradded inside). Any value independent of this sample's
+    randomness keeps the estimator unbiased; ``render_diff`` feeds the
+    running mean of the pixel's previous samples, which removes the
+    DC component of the radiance that dominated the round-3 variance
+    (GRAD_REPORT ior 33%). None = 0 (plain REINFORCE).
     """
     width = jnp.asarray(width, jnp.int32)
     fw = jnp.asarray(width, jnp.float32)
@@ -91,6 +109,10 @@ def trace_paths(
         radiance=jnp.zeros((n, 3), jnp.float32),
         alive=jnp.ones((n,), bool),
     )
+    if branch_grad:
+        init["score"] = jnp.zeros((n,), jnp.float32)
+        baseline = (jnp.zeros((n, 3), jnp.float32) if score_baseline is None
+                    else jax.lax.stop_gradient(score_baseline))
 
     fast = mesh_fast if mesh_fast is not None else scene.n_triangles >= 64
     if fast and scene.n_triangles > 0:
@@ -111,36 +133,59 @@ def trace_paths(
             throughput = throughput * jnp.where(
                 state["alive"], f, 1.0)[:, None]
         rnd = zrng.uniform4(seed, pixel_ids, sample_ids, depth_idx, zrng.STREAM_SCATTER)
-        new_dir, atten, absorbed = mat.scatter(
+        out = mat.scatter(
             scene, state["d"], h["normal"], h["front_face"], h["uv"], h["mat_id"],
             rnd, bilinear_textures=bilinear_textures,
             branch_grad=branch_grad,
         )
+        new_dir, atten, absorbed = out[:3]
         alive = state["alive"]
         miss = alive & ~h["hit"]
         scattered = alive & h["hit"] & ~absorbed
 
-        radiance = state["radiance"] + jnp.where(
+        contrib = jnp.where(
             miss[:, None], throughput * background_color(state["d"]), 0.0
         )
+        radiance = state["radiance"] + contrib
         sc3 = scattered[:, None]
-        return (
-            dict(
-                o=jnp.where(sc3, h["point"], state["o"]),
-                d=jnp.where(sc3, new_dir, state["d"]),
-                throughput=jnp.where(sc3, throughput * atten, throughput),
-                radiance=radiance,
-                alive=scattered,
-            ),
-            None,
+        new_state = dict(
+            o=jnp.where(sc3, h["point"], state["o"]),
+            d=jnp.where(sc3, new_dir, state["d"]),
+            throughput=jnp.where(sc3, throughput * atten, throughput),
+            radiance=radiance,
+            alive=scattered,
         )
+        if branch_grad:
+            # score at this bounce's terminations excludes this bounce's
+            # branch (termination and a dielectric scatter are mutually
+            # exclusive), so masking by `scattered` makes the order moot
+            score = state["score"] + jnp.where(scattered, out[3], 0.0)
+            score0 = (score - jax.lax.stop_gradient(score))[:, None]
+            died = alive & h["hit"] & absorbed
+            # terminal REINFORCE terms (docstring): forward-exact zero
+            reinforce = (
+                jnp.where(miss[:, None],
+                          jax.lax.stop_gradient(contrib) - baseline, 0.0)
+                - jnp.where(died[:, None], baseline, 0.0)
+            ) * score0
+            new_state["radiance"] = radiance + reinforce
+            new_state["score"] = score
+        return new_state, None
 
     if remat:
         bounce = jax.checkpoint(bounce)
     final, _ = jax.lax.scan(bounce, init, jnp.arange(max_depth, dtype=jnp.int32))
     # Paths still alive after max_depth bounces contribute black
     # (raytrace.zig:64-67) — radiance already excludes them.
-    return final["radiance"]
+    radiance = final["radiance"]
+    if branch_grad:
+        # depth-exhausted paths terminate with R = 0: their -b * d logP
+        # term still belongs in the estimator
+        score0 = (final["score"]
+                  - jax.lax.stop_gradient(final["score"]))[:, None]
+        radiance = radiance - jnp.where(
+            final["alive"][:, None], baseline, 0.0) * score0
+    return radiance
 
 
 def render_diff(
@@ -157,29 +202,59 @@ def render_diff(
     edge_occlusion: bool = True,
     mesh_fast: bool | None = None,
     tri_flash=None,
-    branch_grad: bool = False,
+    branch_grad: bool = True,
 ):
     """Differentiable image ``(H, W, 3)``: mean over ``spp`` paths/pixel.
 
     Samples are laid out as a leading axis and scanned so the live lane
     count stays H*W; gradients accumulate across the scan.
+
+    ``branch_grad`` (default ON since round 4 — the estimator is
+    variance-isolated to ``mat_ior``, so other gradient classes are
+    bit-identical either way): each sample's REINFORCE baseline is the
+    running mean of the pixel's PREVIOUS samples — independent of the
+    current sample's randomness, hence unbiased, and free (the
+    stop-gradded radiance totals ride the existing sample scan).
+    Forward images are bit-identical with it on or off.
     """
     n = width * height
     pixel_ids = jnp.arange(n, dtype=jnp.int32)
 
+    # Auto-route the flash winner pass (round-4, VERDICT item 6): a
+    # concrete mesh scene on TPU packs its own BVH-ordered flash planes
+    # instead of silently running the brute O(N*T) winner scan per
+    # bounce. Traced vertices (inside a jitted fit step) can't build
+    # the host-side BVH — inverse.fit pre-computes the order and
+    # repacks per step instead (make_loss_fn tri_order).
+    if (tri_flash is None and scene.n_triangles >= 64
+            and (mesh_fast is None or mesh_fast)
+            and n % 512 == 0
+            and jax.default_backend() == "tpu"
+            and not isinstance(scene.tri_a, jax.core.Tracer)):
+        from zraytrace_tpu.diff_trace import pack_for_diff
+
+        tri_flash = pack_for_diff(scene)
+
     def one_spp(carry, s):
+        total, stop_total, count = carry
+        if branch_grad:
+            b = stop_total / jnp.maximum(count, 1.0)
+        else:
+            b = None
         r = trace_paths(
             scene, camera, pixel_ids, jnp.full((n,), s, jnp.int32),
             seed, width, height, max_depth, bilinear_textures,
             edge_eps=edge_eps, edge_occlusion=edge_occlusion,
             mesh_fast=mesh_fast, tri_flash=tri_flash,
-            branch_grad=branch_grad,
+            branch_grad=branch_grad, score_baseline=b,
         )
-        return carry + r, None
+        return (total + r, stop_total + jax.lax.stop_gradient(r),
+                count + 1.0), None
 
-    total, _ = jax.lax.scan(
-        lambda c, s: one_spp(c, s),
-        jnp.zeros((n, 3), jnp.float32),
+    (total, _, _), _ = jax.lax.scan(
+        one_spp,
+        (jnp.zeros((n, 3), jnp.float32), jnp.zeros((n, 3), jnp.float32),
+         jnp.float32(0.0)),
         jnp.arange(spp, dtype=jnp.int32) + jnp.asarray(sample_start, jnp.int32),
     )
     return (total / spp).reshape(height, width, 3)
