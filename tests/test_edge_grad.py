@@ -161,8 +161,9 @@ def test_occlusion_boundary_gradient_matches_fd():
     real = eg.edge_factor
 
     def no_occ(scene_, o, d, hh, eps=eg.DEFAULT_EDGE_EPS, t_min=1e-3,
-               occlusion=True):
-        return real(scene_, o, d, hh, eps, t_min, occlusion=False)
+               occlusion=True, **kw):
+        kw.pop("occ_weight", None)
+        return real(scene_, o, d, hh, eps, t_min, occlusion=False, **kw)
 
     try:
         eg.edge_factor = no_occ

@@ -71,6 +71,11 @@ def main():
     # (512px spp64: 1890k at G=1 -> 2093k at G=4). 0 = the product
     # policy (render.wavefront_groups: G=4 at >= 32768 triangles).
     ap.add_argument("--xgroups", type=int, default=0)
+    # megakernel = kernel3's deferred-mesh-hit path (render()'s
+    # mesh_pallas branch at teapot scale, VERDICT round-3 item 5:
+    # never measured at goat scale before round 4)
+    ap.add_argument("--engine", choices=("wavefront", "megakernel"),
+                    default="wavefront")
     args = ap.parse_args()
 
     from zraytrace_tpu.geometry.bvh import build_tri_bvh
@@ -102,20 +107,47 @@ def main():
     n_pix = size * size
     from zraytrace_tpu.render import TILE_H, TILE_W
 
-    tx, ty = -(-size // TILE_W), -(-size // TILE_H)
-    padded = tx * ty * 512
-    n_lanes = min(padded, 1 << 17)
-    n_slots = -(-padded // n_lanes)
-    base = jnp.arange(n_lanes, dtype=jnp.int32)
+    if args.engine == "megakernel":
+        # contiguous lanes (the megakernel's rotated-base interleave
+        # requires them; render() mesh_pallas branch does the same)
+        from zraytrace_tpu.config import RenderParams
+        from zraytrace_tpu.ops.bounce_kernel3 import _wavefront_pallas3_jit
+        from zraytrace_tpu.render import pallas_r_blk
+        from zraytrace_tpu.scene import material_classes
 
-    def run(spp, start):
-        sums, cnts = _wavefront_jit(
-            scene, camera, base, 42, size, size, spp, args.depth,
-            start, None, n_lanes, n_pix, n_slots, planes, True,
-            args.xgroups,
-        )
-        _ = float(jnp.sum(cnts[0]).astype(jnp.float32))
-        return sums, cnts
+        dflt = RenderParams(width=1, height=1, samples_per_pixel=1,
+                            max_depth=1)
+        n_lanes = min(-(-n_pix // 256) * 256, dflt.pallas_max_wavefront)
+        n_slots = -(-n_pix // n_lanes)
+        base = jnp.arange(n_lanes, dtype=jnp.int32)
+
+        def run(spp, start):
+            sums, cnts = _wavefront_pallas3_jit(
+                scene, camera, base, 42, size, size, spp, args.depth,
+                start, n_slots, n_lanes, n_pix,
+                n_bounce=dflt.pallas_bounces,
+                r_blk=pallas_r_blk(n_lanes, dflt.pallas_r_blk),
+                sample_groups=max(1, min(dflt.pallas_sample_groups, spp)),
+                mat_classes=material_classes(scene),
+                tri_flash=planes,
+            )
+            _ = float(jnp.sum(cnts[0]).astype(jnp.float32))
+            return sums, cnts
+    else:
+        tx, ty = -(-size // TILE_W), -(-size // TILE_H)
+        padded = tx * ty * 512
+        n_lanes = min(padded, 1 << 17)
+        n_slots = -(-padded // n_lanes)
+        base = jnp.arange(n_lanes, dtype=jnp.int32)
+
+        def run(spp, start):
+            sums, cnts = _wavefront_jit(
+                scene, camera, base, 42, size, size, spp, args.depth,
+                start, None, n_lanes, n_pix, n_slots, planes, True,
+                args.xgroups,
+            )
+            _ = float(jnp.sum(cnts[0]).astype(jnp.float32))
+            return sums, cnts
 
     chunk = args.chunk_spp or args.spp
     t0 = time.time()
@@ -145,10 +177,15 @@ def main():
     if args.out:
         from zraytrace_tpu.io.png import write_png
 
-        from zraytrace_tpu.render import untile_pixels
+        flat = total.reshape(-1, 3)
+        if args.engine == "megakernel":
+            # contiguous mapping: pixel p = (slot p // n_lanes, lane
+            # p % n_lanes); group planes were already folded in-kernel
+            dst = flat[:n_pix]
+        else:
+            from zraytrace_tpu.render import untile_pixels
 
-        flat = total.reshape(n_slots * n_lanes, 3)
-        dst = untile_pixels(flat, size, size)
+            dst = untile_pixels(flat, size, size)
         img = (dst / args.spp).reshape(size, size, 3).astype(np.float32)
         write_png(args.out, img)
         print(f"wrote {args.out}", file=sys.stderr)

@@ -66,12 +66,24 @@ DEFAULT_EDGE_EPS = 0.01
 def silhouette_margin(scene: Scene, o, d, h, t_min=1e-3,
                       tri_chunk: int = 512):
     """Signed relative silhouette margin per ray plus the occlusion
-    (second-hit) margin: returns ``(margin (N,), occ_margin (N,))``.
+    (second-hit) margin and the near-miss margin: returns ``(margin
+    (N,), occ_margin (N,), near_margin (N,))``.
 
     ``h`` is the hit dict from ``trace_closest`` (hit, t, uv, mat_id...).
     ``margin`` is positive for hit rays (interior margin of the winning
     primitive), negative for miss rays (margin of the nearest
     near-missed silhouette in front of the eventual hit).
+
+    ``near_margin`` is the near-miss margin for EVERY ray (equal to
+    ``margin`` on miss rays): the best margin among primitives the ray
+    passed close to IN FRONT of its winner (or in front of the sky).
+    Hit rays need it too — a silhouette against a BACKDROP OBJECT
+    (sphere edge over the ground, anything seen through a refracting
+    lens) has its miss side land on the backdrop as a hit, and a
+    boundary estimator that only pushes from the on-silhouette side
+    measures roughly half the term (round-4 fix; the sky-backed
+    classes in GRAD_REPORT were two-sided all along, which is why they
+    verified while ior/lensed boundaries sat at ~35%).
 
     ``occ_margin = (t2 - t1)/t2`` with ``t2`` the nearest intersection
     of any OTHER primitive behind the winner (the t-crossing boundary
@@ -187,7 +199,8 @@ def silhouette_margin(scene: Scene, o, d, h, t_min=1e-3,
         (t_occ - t_first) / jnp.where(has_occ, t_occ, 1.0),
         1.0,
     )
-    return jnp.where(hit, margin_hit, miss_margin), occ_margin
+    return (jnp.where(hit, margin_hit, miss_margin), occ_margin,
+            miss_margin)
 
 
 # The occlusion margin is a relative-t gap: near a grazing t-crossing
@@ -200,7 +213,8 @@ OCC_EPS_SCALE = 0.125
 
 
 def edge_factor(scene: Scene, o, d, h, eps=DEFAULT_EDGE_EPS,
-                t_min=1e-3, occlusion: bool = True):
+                t_min=1e-3, occlusion: bool = True, eps_scale=None,
+                occ_weight=None):
     """Per-ray multiplicative factor: exactly 1.0 forward, silhouette +
     occlusion gradients backward. Multiply into path throughput each
     bounce.
@@ -208,19 +222,47 @@ def edge_factor(scene: Scene, o, d, h, eps=DEFAULT_EDGE_EPS,
     ``eps``: relative bandwidth, or a tuple of bandwidths — the factor
     is the geometric mean over bandwidths, so the backward pass is the
     plain mean of the per-bandwidth gradients (bias cancellation). The
-    occlusion term uses ``eps * OCC_EPS_SCALE`` per bandwidth."""
-    m, m_occ = silhouette_margin(scene, o, d, h, t_min=t_min)
+    occlusion term uses ``eps * OCC_EPS_SCALE`` per bandwidth.
+
+    Hit rays carry TWO sigmoid terms (round 4): their winner's interior
+    margin AND the complement of their best in-front near-miss margin,
+    so a silhouette whose far side lands on a backdrop object (ground
+    behind a sphere edge, geometry seen through a lens) pushes from
+    both sides — see silhouette_margin's ``near_margin`` docstring.
+    A hit ray that near-missed nothing has near_margin ~ -1e3, weight
+    exactly 1, zero gradient — sky-backed boundaries are unchanged.
+
+    ``eps_scale``: optional per-ray (N,) bandwidth multiplier
+    (stop-gradded), carried by render_diff as the product of angular
+    magnifications of the refractions the path went through
+    (materials.scatter amp_mul). A silhouette seen through near-grazing
+    refraction sweeps so fast per unit upstream change that no sample
+    lands inside an UNSCALED band — the estimator silently drops the
+    whole boundary (the ior "lensed ring" gap, PERF.md round 4). The
+    widened band trades O(eps * amp) smoothing bias for actually
+    sampling the boundary, the same trade the FD pairing makes."""
+    m, m_occ, m_near = silhouette_margin(scene, o, d, h, t_min=t_min)
     eps_list = tuple(eps) if isinstance(eps, (tuple, list)) else (eps,)
+    scale = 1.0 if eps_scale is None else jax.lax.stop_gradient(eps_scale)
     log_w = jnp.zeros_like(m)
-    for e in eps_list:
+    for e0 in eps_list:
+        e = e0 * scale
         w = jax.nn.sigmoid(m / e)
-        wh = jnp.where(h["hit"], w, 1.0 - w)
-        wh = jnp.maximum(wh, 1e-6)
+        near_c = jnp.maximum(1.0 - jax.nn.sigmoid(m_near / e), 1e-6)
+        # miss rays: m == m_near, factor (1 - w) as before; hit rays:
+        # interior w TIMES the near-miss complement
+        wh = jnp.where(h["hit"], jnp.maximum(w, 1e-6) * near_c, near_c)
         lg = jnp.log(wh)
         if occlusion:
             wo = jnp.maximum(
                 jax.nn.sigmoid(m_occ / (e * OCC_EPS_SCALE)), 1e-6)
-            lg = lg + jnp.where(h["hit"], jnp.log(wo), 0.0)
+            occ_lg = jnp.where(h["hit"], jnp.log(wo), 0.0)
+            if occ_weight is not None:
+                # traced gate (e.g. camera-segments-only): scales the
+                # occlusion GRADIENT; the factor stays exactly 1.0
+                # forward either way
+                occ_lg = occ_lg * occ_weight
+            lg = lg + occ_lg
         log_w = log_w + lg
     log_w = log_w / len(eps_list)
     # exactly 0.0 forward (x - x), so exp == 1.0 bit-exactly

@@ -168,4 +168,20 @@ def scatter(scene: sc.Scene, d_in, normal, front_face, uv, mat_id, rnd,
     w = jnp.maximum(w, 1e-6)
     is_die = ~(mat_type == sc.LAMBERTIAN) & ~(mat_type == sc.METAL)
     log_w = jnp.where(is_die, jnp.log(w), 0.0)
-    return new_dir, attenuation, absorbed, log_w
+
+    # Angular-magnification multiplier for the BANDWIDTH of downstream
+    # edge factors (render_diff edge amp carry): a refraction maps an
+    # incoming-direction band to an outgoing band stretched by
+    # d(theta_t)/d(theta_i) = ratio * cos_i / cos_t — near-grazing exit
+    # rays (cos_t -> 0) sweep enormously per unit incoming change, so a
+    # silhouette seen THROUGH them needs a proportionally wider sigmoid
+    # band to be sampled at all (the lensed-boundary gap, PERF.md round
+    # 4). Encoding: 0 = diffuse bounce (decorrelates the mapping —
+    # reset the carried product to 1), else multiply. Mirrors are 1.
+    cos_t_out = jnp.sqrt(jnp.maximum(
+        1.0 - ratio * ratio * (1.0 - cos_theta * cos_theta), 1e-6))
+    amp_refract = jnp.clip(ratio * cos_theta / cos_t_out, 1.0, 32.0)
+    amp_mul = jnp.where(is_die & ~reflect_now, amp_refract, 1.0)
+    amp_mul = jnp.where(is_lam[:, 0], 0.0, amp_mul)
+    amp_mul = jax.lax.stop_gradient(amp_mul)
+    return new_dir, attenuation, absorbed, log_w, amp_mul

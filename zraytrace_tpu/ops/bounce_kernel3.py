@@ -526,22 +526,22 @@ def make_bounce_kernel3(n_spheres: int, n_mats: int, shape,
             # A texmiss whose index already sits in a slot shares it
             # (the resolved value is the same); otherwise allocate the
             # first free slot.
-            reused = jnp.zeros(blk, jnp.bool_)
-            reuse_bit = jnp.zeros(blk, jnp.int32)
-            for k in range(K_TEX):
-                rk = texmiss & ~reused & (texflat == texidx[k])
-                reuse_bit = jnp.where(rk, jnp.int32(1 << k), reuse_bit)
-                reused = reused | rk
-            need_alloc = texmiss & ~reused
-            alloced = jnp.zeros(blk, jnp.bool_)
-            alloc_bit = jnp.zeros(blk, jnp.int32)
+            # single pass (round 4): slots fill in order and are never
+            # freed mid-launch, so occupied slots are a PREFIX — any
+            # match precedes every free slot, and "check reuse
+            # everywhere, else first free" collapses to one ascending
+            # scan: match-or-free at slot k settles the miss.
+            handled = jnp.zeros(blk, jnp.bool_)
+            slot_bit = jnp.zeros(blk, jnp.int32)
             texidx2 = list(texidx)
             for k in range(K_TEX):
-                take = need_alloc & ~alloced & (texidx[k] < 0)
-                texidx2[k] = jnp.where(take, texflat, texidx[k])
-                alloc_bit = jnp.where(take, jnp.int32(1 << k), alloc_bit)
-                alloced = alloced | take
-            tex_block = need_alloc & ~alloced
+                match_k = texflat == texidx[k]
+                free_k = texidx[k] < 0
+                take = texmiss & ~handled & (match_k | free_k)
+                texidx2[k] = jnp.where(take & free_k, texflat, texidx[k])
+                slot_bit = jnp.where(take, jnp.int32(1 << k), slot_bit)
+                handled = handled | take
+            tex_block = texmiss & ~handled
 
             # sky radiance on escape (raytrace.zig:53-58); a sample
             # with outstanding factors parks in a record instead of acc
@@ -577,7 +577,7 @@ def make_bounce_kernel3(n_spheres: int, n_mats: int, shape,
             # tmask transitions: texmiss adds its slot bit (texmiss and
             # path_done are mutually exclusive — a texmiss implies a
             # scatter); park or drop (absorb/exhaust) clears
-            tmask2 = tmask | reuse_bit | alloc_bit
+            tmask2 = tmask | slot_bit
             tmask2 = jnp.where(park | (path_done & ~miss),
                                jnp.int32(0), tmask2)
 
@@ -612,36 +612,37 @@ def make_bounce_kernel3(n_spheres: int, n_mats: int, shape,
             # identical mask — records filled within ~a dozen samples
             # and pinned the launch; folded, those collapse to one
             # record per distinct outstanding-mask pattern.
+            # Records also fill as a prefix (resolved all-at-once at
+            # launch end), so fold-match and first-free collapse into
+            # the same single ascending scan as the texel slots: a
+            # park folds into a matching occupied record or takes the
+            # first free one; a commit (packed id = slot, mask 0 —
+            # never collides with a park's nonzero mask) takes the
+            # next free record.
             want_p = slot | (tmask << 16)
             parked = jnp.zeros(blk, jnp.bool_)
             committed = jnp.zeros(blk, jnp.bool_)
             recs2 = list(recs)
             for m in range(M_REC):
                 rr, rg, rb, rp = recs[4 * m:4 * m + 4]
-                fold_m = park & ~parked & (rp == want_p)
-                recs2[4 * m + 0] = jnp.where(fold_m, rr + tr * skyr, rr)
-                recs2[4 * m + 1] = jnp.where(fold_m, rg + tg * skyg, rg)
-                recs2[4 * m + 2] = jnp.where(fold_m, rb + tb * skyb, rb)
-                parked = parked | fold_m
-            # allocation: park first, then commit (a textured escape at
-            # window end needs BOTH — they land in different records; a
-            # commit's packed id is its slot, mask 0, which can never
-            # collide with a park's nonzero mask)
-            for m in range(M_REC):
-                rr, rg, rb, rp = recs2[4 * m:4 * m + 4]
                 free_m = rp < 0
+                fold_m = park & ~parked & (rp == want_p)
                 take_p = park & ~parked & free_m
+                pk = fold_m | take_p
                 free_m2 = free_m & ~take_p
                 take_c = commit & ~committed & free_m2
                 recs2[4 * m + 0] = jnp.where(
-                    take_p, tr * skyr, jnp.where(take_c, com_r, rr))
+                    pk, jnp.where(fold_m, rr, 0.0) + tr * skyr,
+                    jnp.where(take_c, com_r, rr))
                 recs2[4 * m + 1] = jnp.where(
-                    take_p, tg * skyg, jnp.where(take_c, com_g, rg))
+                    pk, jnp.where(fold_m, rg, 0.0) + tg * skyg,
+                    jnp.where(take_c, com_g, rg))
                 recs2[4 * m + 2] = jnp.where(
-                    take_p, tb * skyb, jnp.where(take_c, com_b, rb))
+                    pk, jnp.where(fold_m, rb, 0.0) + tb * skyb,
+                    jnp.where(take_c, com_b, rb))
                 recs2[4 * m + 3] = jnp.where(
                     take_p, want_p, jnp.where(take_c, slot, rp))
-                parked = parked | take_p
+                parked = parked | pk
                 committed = committed | take_c
             park_block = park & ~parked
             commit_block = commit & ~committed

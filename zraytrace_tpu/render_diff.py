@@ -15,7 +15,9 @@ Gradient semantics (SURVEY.md §7.7):
 - discrete choices (which primitive is hit, reflect-vs-refract, front
   face, absorb) are piecewise-constant: gradients flow through the
   *continuous* quantities (t, point, normal, uv, attenuation) at fixed
-  topology; visibility/silhouette gradients are not modeled.
+  topology; visibility/silhouette terms come from the edge factors
+  (``edge_eps``, edge_grad.py) and the stochastic Fresnel branch from
+  the REINFORCE score (``branch_grad``).
 - all masked branches use "double-where" guards so no NaN/Inf from
   inactive lanes poisons the backward pass.
 """
@@ -46,7 +48,7 @@ def trace_paths(
     bilinear_textures: bool = True,
     remat: bool = True,
     edge_eps: float | None = None,
-    edge_occlusion: bool = True,
+    edge_occlusion: bool | str = True,
     mesh_fast: bool | None = None,
     tri_flash=None,
     branch_grad: bool = False,
@@ -111,6 +113,10 @@ def trace_paths(
     )
     if branch_grad:
         init["score"] = jnp.zeros((n,), jnp.float32)
+        # per-ray edge-bandwidth amplification (edge_grad.edge_factor
+        # eps_scale): product of refraction angular magnifications,
+        # reset by diffuse bounces
+        init["amp"] = jnp.ones((n,), jnp.float32)
         baseline = (jnp.zeros((n, 3), jnp.float32) if score_baseline is None
                     else jax.lax.stop_gradient(score_baseline))
 
@@ -128,8 +134,18 @@ def trace_paths(
         if edge_eps is not None:
             from zraytrace_tpu.edge_grad import edge_factor
 
+            # edge_occlusion: True (every bounce), False, or "camera"
+            # (t-crossing term on primary segments only — bounce rays'
+            # internal crossings add variance that swamps the pose
+            # signal at mesh scale; VERDICT round-3 item 7)
+            occ_w = None
+            occ_on = bool(edge_occlusion)
+            if edge_occlusion == "camera":
+                occ_w = (depth_idx == 0).astype(jnp.float32)
             f = edge_factor(scene, state["o"], state["d"], h, edge_eps,
-                            occlusion=edge_occlusion)
+                            occlusion=occ_on,
+                            eps_scale=state.get("amp"),
+                            occ_weight=occ_w)
             throughput = throughput * jnp.where(
                 state["alive"], f, 1.0)[:, None]
         rnd = zrng.uniform4(seed, pixel_ids, sample_ids, depth_idx, zrng.STREAM_SCATTER)
@@ -170,6 +186,11 @@ def trace_paths(
             ) * score0
             new_state["radiance"] = radiance + reinforce
             new_state["score"] = score
+            # bandwidth amp carry: 0 marks a diffuse bounce (reset)
+            mul = out[4]
+            amp2 = jnp.where(mul == 0.0, 1.0,
+                             jnp.minimum(state["amp"] * mul, 32.0))
+            new_state["amp"] = jnp.where(scattered, amp2, state["amp"])
         return new_state, None
 
     if remat:
@@ -199,7 +220,7 @@ def render_diff(
     sample_start=0,
     bilinear_textures: bool = True,
     edge_eps: float | None = None,
-    edge_occlusion: bool = True,
+    edge_occlusion: bool | str = True,
     mesh_fast: bool | None = None,
     tri_flash=None,
     branch_grad: bool = True,
