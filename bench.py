@@ -58,8 +58,8 @@ def main() -> int:
         pallas_kwargs = dict(
             n_bounce=int(os.environ.get("ZRAYTRACE_BENCH_B", "160")),
             r_blk=int(os.environ.get("ZRAYTRACE_BENCH_RBLK", "32")),
-            exit_frac=(int(os.environ.get("ZRAYTRACE_BENCH_EXIT_NUM", "3")),
-                       int(os.environ.get("ZRAYTRACE_BENCH_EXIT_DEN", "5"))),
+            exit_frac=(int(os.environ.get("ZRAYTRACE_BENCH_EXIT_NUM", "1")),
+                       int(os.environ.get("ZRAYTRACE_BENCH_EXIT_DEN", "2"))),
             return_launches=True,
             sample_groups=int(os.environ.get("ZRAYTRACE_BENCH_GROUPS", "8")),
         )
@@ -125,22 +125,20 @@ def main() -> int:
     use_pallas = (scene.n_triangles == 0 and n_lanes % 256 == 0
                   and os.environ.get("ZRAYTRACE_BENCH_PALLAS", "1") == "1")
 
-    # Profile-balanced lane map (balance.py): a short identity-map G=1
-    # calibration render measures per-column texel-miss costs, and the
-    # greedy orbit partition flattens the per-lane miss maximum that
-    # pins the launch count (the gather conservation law, PERF.md).
-    # Calibration is scene preprocessing (like the BVH build) and runs
-    # before the timed loop; its wall time is printed for the record.
-    # Default ON: the balanced map is worth a small but repeatable
-    # +0.5-0.8% (739.5M vs 734.0M, round 3) and the calibration render
-    # is untimed scene preprocessing. calib_spp=64 measured best.
+    # Profile-balanced lane map: since round 4 this is PRODUCT scene
+    # preprocessing (render() resolves it through the same
+    # balance.balanced_base_cached helper and disk cache — one engine,
+    # one number). The calibration render runs once per (scene, camera,
+    # size, schedule) and is cached like the XLA compile cache; at the
+    # round-4 exit-1/2 operating point the map is worth ~3-4%
+    # (726 -> 753M, PERF.md). ZRAYTRACE_BENCH_BALANCE=0 forces it off.
     if (use_pallas and kern != "2"
             and os.environ.get("ZRAYTRACE_BENCH_BALANCE", "1") == "1"):
-        from zraytrace_tpu.balance import balanced_pixel_base
+        from zraytrace_tpu.balance import balanced_base_cached
 
         calib_spp = int(os.environ.get("ZRAYTRACE_BENCH_CALIB_SPP", "64"))
         t_cal = time.time()
-        perm, bstats = balanced_pixel_base(
+        perm, bstats = balanced_base_cached(
             scene, camera, size, size, depth, n_lanes, n_slots,
             pallas_kwargs["sample_groups"], calib_spp=calib_spp,
             n_bounce=pallas_kwargs["n_bounce"],
@@ -148,11 +146,13 @@ def main() -> int:
         )
         ids = jnp.asarray(perm)
         pallas_kwargs["permuted_base"] = True
+        tail = ("cache hit" if bstats is None else
+                f"max/mean {bstats['max_over_mean_before']:.3f} -> "
+                f"{bstats['max_over_mean_after']:.3f} "
+                f"calib_misses={bstats['total_misses']}")
         print(f"# balance: calib_spp={calib_spp} "
-              f"calib_wall={time.time() - t_cal:.1f}s "
-              f"max/mean {bstats['max_over_mean_before']:.3f} -> "
-              f"{bstats['max_over_mean_after']:.3f} "
-              f"calib_misses={bstats['total_misses']}", file=sys.stderr)
+              f"calib_wall={time.time() - t_cal:.1f}s {tail}",
+              file=sys.stderr)
 
     n_launches = [0]
     miss_planes = []

@@ -97,3 +97,46 @@ def test_return_misses_counts_texel_slots():
     assert misses.min() >= 0
     # the textured spheres are visible: someone must miss
     assert misses.sum() > 0
+
+
+def test_render_decodes_permuted_base(monkeypatch):
+    """END-TO-END: render() with a balanced (permuted) lane map must
+    return the same IMAGE as the identity map — the decode has to invert
+    the permutation (a missing inversion scrambles every pixel; caught
+    on hardware, round 4)."""
+    import zraytrace_tpu.balance as balance_mod
+    from zraytrace_tpu.config import RenderParams
+    from zraytrace_tpu.render import render
+
+    built = three_balls()
+    rng = np.random.default_rng(7)
+
+    def fake_cached(scene, camera, w, h, depth, n_lanes, n_slots,
+                    groups, **kw):
+        return rng.permutation(n_lanes).astype(np.int32), None
+
+    monkeypatch.setattr(balance_mod, "balanced_base_cached", fake_cached)
+    rp = dict(width=16, height=16, samples_per_pixel=2, max_depth=4,
+              use_pallas=True)
+    img_id, st_id = render(built.scene, built.camera,
+                           RenderParams(**rp, pallas_balance=False))
+    img_p, st_p = render(built.scene, built.camera,
+                         RenderParams(**rp, pallas_balance=True))
+    assert st_id.rays == st_p.rays
+    assert st_id.reflections == st_p.reflections
+    diff = np.abs(np.asarray(img_id) - np.asarray(img_p))
+    # same streams; texel-factor multiply order may deviate per pixel
+    assert (diff > 1e-4).mean() < 0.05, float(diff.max())
+    assert np.median(diff) < 1e-5
+
+
+def test_unpermute_lanes_inverts_unscramble():
+    from zraytrace_tpu.render import unpermute_lanes
+
+    rng = np.random.default_rng(3)
+    n, slots = 64, 3
+    perm = rng.permutation(n).astype(np.int32)
+    sums = rng.normal(size=(slots, n, 3)).astype(np.float32)
+    out = unpermute_lanes(sums, perm).reshape(slots * n, 3)
+    ref = _unscramble(sums, perm, slots * n)
+    np.testing.assert_array_equal(out, ref)

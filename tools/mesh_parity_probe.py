@@ -1,0 +1,67 @@
+#!/usr/bin/env python
+"""Characterize the megakernel-vs-XLA event divergence on mixed scenes.
+
+Round-4 finding: on hardware the deferred-mesh-hit megakernel and the
+XLA wavefront disagree on EVENT COUNTS by ~1e-6..4e-5 relative (they
+are bit-exact in interpret mode, and each satisfies the counter
+identity). This probe separates the possible causes:
+
+1. run each engine TWICE  -> is each deterministic?
+2. run the megakernel at round-3 knobs (K3 env) -> knob-stable events?
+3. image diff statistics  -> localized flips or broad drift?
+
+Usage: python tools/mesh_parity_probe.py [--scene 4] [--spp 20]
+"""
+
+import argparse
+import sys
+
+sys.path.insert(0, ".")
+
+from zraytrace_tpu.runtime import enable_compilation_cache
+
+enable_compilation_cache()
+
+import numpy as np
+
+from zraytrace_tpu.config import RenderParams
+from zraytrace_tpu.render import render
+from zraytrace_tpu.scenes import build_scene
+
+
+def one(scene_idx, spp, mesh_pallas):
+    built = build_scene(scene_idx)
+    params = RenderParams(width=700, height=700, samples_per_pixel=spp,
+                          max_depth=20, pallas_mesh=mesh_pallas)
+    img, st = render(built.scene, built.camera, params)
+    return np.asarray(img), (st.rays, st.reflections,
+                             st.background_hits, st.recursion_depth_hits)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scene", type=int, default=4)
+    ap.add_argument("--spp", type=int, default=20)
+    args = ap.parse_args()
+
+    img_p1, c_p1 = one(args.scene, args.spp, True)
+    img_p2, c_p2 = one(args.scene, args.spp, True)
+    img_x1, c_x1 = one(args.scene, args.spp, False)
+    img_x2, c_x2 = one(args.scene, args.spp, False)
+
+    print(f"megakernel deterministic: counters {c_p1 == c_p2} "
+          f"image {bool((img_p1 == img_p2).all())}", flush=True)
+    print(f"xla        deterministic: counters {c_x1 == c_x2} "
+          f"image {bool((img_x1 == img_x2).all())}", flush=True)
+    print(f"counters megakernel={c_p1} xla={c_x1} "
+          f"drays={c_p1[0] - c_x1[0]}", flush=True)
+    d = np.abs(img_p1 - img_x1)
+    n_pix = d.shape[0] * d.shape[1]
+    bad = (d.max(axis=-1) > 1e-3).sum()
+    print(f"image diff: max={d.max():.3e} mean={d.mean():.3e} "
+          f"pixels>1e-3: {bad}/{n_pix} ({100.0 * bad / n_pix:.3f}%)",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()

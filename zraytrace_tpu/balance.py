@@ -141,3 +141,50 @@ def balanced_pixel_base(scene, camera, width, height, max_depth,
         total_misses=int(cost.sum()),
     )
     return perm, stats
+
+
+def balanced_base_cached(scene, camera, width, height, max_depth,
+                         n_lanes, n_slots, sample_groups,
+                         calib_spp: int = 64, seed: int = 42,
+                         n_bounce: int = 160, r_blk: int = 32,
+                         cache_dir=None):
+    """Disk-cached balanced lane map — scene preprocessing for
+    ``render()`` (round 4). The calibration render costs a few seconds
+    of device time but depends only on (scene, camera, resolution,
+    schedule geometry), so it is computed once and keyed like the XLA
+    compile cache. At the round-4 operating point (exit 1/2, K_TEX=6)
+    launches stretch deep enough that the per-lane miss imbalance is
+    worth ~3-4% end to end (PERF.md) — no longer bench-only polish.
+
+    Returns ``(perm (n,) int32, stats | None)`` — stats is None on a
+    cache hit.
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    parts = [np.asarray(x).tobytes() for x in (
+        scene.sph_center, scene.sph_radius, scene.sph_mat,
+        scene.mat_type, scene.mat_ior, scene.mat_tex, scene.tex_color,
+        scene.atlas)]
+    for v in camera:
+        parts.append(np.asarray(v).tobytes())
+    parts.append(np.asarray(
+        [width, height, max_depth, n_lanes, n_slots, sample_groups,
+         calib_spp, seed, n_bounce, r_blk], np.int64).tobytes())
+    key = hashlib.sha256(b"".join(parts)).hexdigest()[:24]
+    cdir = cache_dir or os.path.join(
+        os.path.expanduser("~"), ".cache", "zraytrace_tpu", "balance")
+    path = os.path.join(cdir, f"{key}.npy")
+    if os.path.exists(path):
+        return np.load(path).astype(np.int32), None
+    perm, stats = balanced_pixel_base(
+        scene, camera, width, height, max_depth, n_lanes, n_slots,
+        sample_groups, calib_spp=calib_spp, seed=seed,
+        n_bounce=n_bounce, r_blk=r_blk)
+    os.makedirs(cdir, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=cdir, suffix=".npy")
+    os.close(fd)
+    np.save(tmp, perm)  # tmp ends in .npy, so np.save writes exactly tmp
+    os.replace(tmp, path)
+    return perm, stats

@@ -49,8 +49,11 @@ class RenderParams:
     # launches exit early when deferred-texel blocks pile up, so this is
     # a cap; larger amortizes the per-launch texture gather further
     # (PERF.md rounds 2-3).
-    # 160 with exit_frac=3/5, r_blk=32, sample_groups=8 and 65536 lanes
-    # won the round-3 sweep (727.3M rays/s; PERF.md round 3).
+    # 160 with exit_frac=1/2, K_TEX=6, N_CACHE=8, r_blk=32,
+    # sample_groups=8 and 65536 lanes won the round-4 repeat sweep
+    # (~753M rays/s, 4 runs within +-0.15%; PERF.md round 4 — the
+    # park-fold/single-pass record redesign made the extra texel slots
+    # affordable).
     pallas_bounces: int = 160
     # Megakernel wavefront width. Narrower-than-max lanes give each lane
     # more pixel windows, which shrinks the per-lane texel-miss MAXIMUM
@@ -67,6 +70,16 @@ class RenderParams:
     # 131072 lanes; at the 65536-lane default the occupancy is already
     # high and the cheaper G=8 fold wins.
     pallas_sample_groups: int = 8
+    # Profile-balanced lane map (balance.py): a one-time cached
+    # calibration render assigns pixel columns to lane orbits by
+    # measured texel-miss cost, flattening the per-lane maximum that
+    # pins megakernel launches. None = auto: on for TPU sphere-scene
+    # megakernel renders with >= 1e8 pixel-samples (where the round-4
+    # exit-1/2 stretch makes it worth ~3-4%; the calibration is
+    # disk-cached so only the first render of a (scene, camera, size)
+    # pays it). render_sharded applies it only on single-device meshes
+    # (the orbit rotation needs the full contiguous lane space).
+    pallas_balance: bool | None = None
     # Route MESH scenes through the bounce megakernel too (deferred
     # mesh-hit stall, ops/bounce_kernel3): segments that can reach the
     # mesh root AABB block in-kernel and are batch-resolved with one

@@ -159,9 +159,14 @@ VMEM_LIMIT = 100 * 1024 * 1024
 # 6 FIFO entries win at the 65536-lane default (727.3M vs 717.2M at 4;
 # 8 and 12 regress — compare-chain cost); at 131072 lanes the curve was
 # flat past 4 (PERF.md).
-N_CACHE = int(_os.environ.get("ZRAYTRACE_K3_CACHE", "6"))
-K_TEX = int(_os.environ.get("ZRAYTRACE_K3_TEX", "4"))
+N_CACHE = int(_os.environ.get("ZRAYTRACE_K3_CACHE", "8"))
+K_TEX = int(_os.environ.get("ZRAYTRACE_K3_TEX", "6"))
 M_REC = int(_os.environ.get("ZRAYTRACE_K3_REC", "4"))
+# Launch early-exit threshold (blocked-lane fraction); env override for
+# A/B sweeps without touching call sites. 1/2 with K_TEX=6 won the
+# round-4 repeat sweep (PERF.md).
+EXIT_FRAC = (int(_os.environ.get("ZRAYTRACE_K3_EXIT_NUM", "1")),
+             int(_os.environ.get("ZRAYTRACE_K3_EXIT_DEN", "2")))
 # NEIGHBOR-SHARED cache entries (appended after the own-FIFO entries):
 # entry N_CACHE+j holds the newest resolve of the lane at flat offset
 # SHARE_OFFS[j]. Lanes ±1 trace ADJACENT PIXELS concurrently (same
@@ -189,7 +194,7 @@ N_LOCAL = 1 + K_TEX + 4 * M_REC
 
 def make_bounce_kernel3(n_spheres: int, n_mats: int, shape,
                         n_bounce: int, r_blk: int = R_BLK,
-                        exit_frac: tuple = (3, 5), mat_classes=None,
+                        exit_frac: tuple = EXIT_FRAC, mat_classes=None,
                         has_mesh: bool = False, n_gb: int = 0):
     """Build the pallas_call: up to ``n_bounce`` wavefront iterations
     over ``(R, 128)`` single-path lane state, gridded in ``r_blk``-row
@@ -862,7 +867,7 @@ def wavefront_trace_pallas3(
     n_pixels=None,
     n_bounce: int = B_DEFAULT,
     r_blk: int = R_BLK,
-    exit_frac: tuple = (3, 5),
+    exit_frac: tuple = EXIT_FRAC,
     return_launches: bool = False,
     sample_groups: int = 1,
     mat_classes=None,
@@ -889,9 +894,15 @@ def wavefront_trace_pallas3(
     mesh root AABB block in-kernel and are batch-resolved here with one
     flash RL call per launch, seeded by each lane's sphere-winner t
     (non-requesting lanes seed 0, so their chunk work lists are empty).
-    Counters stay bit-exact vs the XLA mesh wavefront (same intersect
-    values through the same flash kernel; blocking changes timing,
-    never events).
+    Counters are bit-exact vs the XLA mesh wavefront in interpret mode
+    (identical logic; blocking changes timing, never events) and
+    KNOB-STABLE on hardware (any K_TEX/N_CACHE/exit_frac combination
+    reproduces the same events bit-for-bit). Across ENGINES on
+    hardware, Mosaic and XLA codegen fuse the borderline f32
+    comparisons (triangle ``det`` cutoff, t-winner near-ties)
+    differently: events diverge at ~2e-5/segment on mesh scenes,
+    ~2.5e-8 on sphere scenes — each engine individually deterministic
+    (tools/mesh_parity_probe.py, PERF.md round 4).
 
     ``n_gb`` in the kernel builder / ``permuted_base`` here enable the
     PROFILE-BALANCED lane map (balance.py): ``pixel_base`` may be any

@@ -69,7 +69,8 @@ def _sharded_wavefront(mesh: Mesh, n_slots: int, use_pallas: bool,
                        sample_groups: int = 1, mat_classes=None,
                        mesh_pallas: bool = False,
                        tile_coherent: bool = False,
-                       wavefront_groups: int = 1):
+                       wavefront_groups: int = 1,
+                       permuted_base: bool = False):
     """shard_map'd wavefront: each shard traces its lane slice (with
     strided multi-pixel slots, exactly like the single-chip engine) for
     its sample slice; pixel sums psum over the sample axis.
@@ -97,6 +98,7 @@ def _sharded_wavefront(mesh: Mesh, n_slots: int, use_pallas: bool,
                 n_bounce=n_bounce, r_blk=r_blk,
                 sample_groups=sample_groups, mat_classes=mat_classes,
                 tri_flash=tri_flash if mesh_pallas else None,
+                permuted_base=permuted_base,
             )
         else:
             slot_sums, counters = wavefront_trace(
@@ -235,17 +237,32 @@ def render_sharded(
         from zraytrace_tpu.scene import material_classes
 
         mat_classes = material_classes(scene)
-    from zraytrace_tpu.render import wavefront_groups
+    from zraytrace_tpu.render import balanced_base, wavefront_groups
+
+    # profile-balanced lane map: single-device meshes only (the orbit
+    # rotation needs the full contiguous lane space; a sharded base
+    # splits it) — the 1-device sharded engine stays bit-identical to
+    # render() by resolving through the same helper + cache
+    permuted = False
+    ids_j = jnp.asarray(ids)
+    g_eff = max(1, min(params.pallas_sample_groups, spp_local))
+    if use_pallas and not mesh_pallas and mesh.devices.size == 1:
+        ids_j, permuted = balanced_base(
+            params, scene, camera, w, h, spp_local, n_lanes, n_slots,
+            g_eff, pallas_r_blk(n_lanes, params.pallas_r_blk),
+            mesh_pallas, ids_j)
+    ids_s = shard_lanes(ids_j, mesh) if permuted else ids_s
 
     xg = wavefront_groups(params, scene, spp_local, tile_coherent)
     fn = _sharded_wavefront(
         mesh, n_slots, use_pallas, params.pallas_bounces,
         r_blk=(pallas_r_blk(n_lanes // n_data, params.pallas_r_blk)
                if use_pallas else 32),
-        sample_groups=max(1, min(params.pallas_sample_groups, spp_local)),
+        sample_groups=g_eff,
         mat_classes=mat_classes,
         mesh_pallas=mesh_pallas, tile_coherent=tile_coherent,
         wavefront_groups=xg,
+        permuted_base=permuted,
     )
     t1 = time.perf_counter()
     sums, counters = fn(
@@ -276,6 +293,12 @@ def render_sharded(
                 folded[p] += np.roll(s4[g * n_slots + p],
                                      g * shift_local, axis=1)
         s_np = folded.reshape(n_slots, n_lanes, 3)
+    if permuted:
+        # balanced lane map: lane l traced pixel ids_j[l] + p*n —
+        # invert before the positional reshape (render() does the same)
+        from zraytrace_tpu.render import unpermute_lanes
+
+        s_np = unpermute_lanes(s_np.reshape(n_slots, n_lanes, 3), ids_j)
     sums = s_np.reshape(n_slots * n_lanes, 3)
     if tile_coherent:
         from zraytrace_tpu.render import untile_pixels

@@ -78,6 +78,12 @@ class RenderStats:
     wavefront_iterations: int = 0
     preprocess_seconds: float = 0.0
     render_seconds: float = 0.0
+    # Device -> host image readback, timed separately from
+    # render_seconds (round 4): through this environment's TPU relay
+    # a 12 MB slot-sum fetch costs ~0.4 s — comparable to the whole
+    # 7-spheres render — while on a directly attached host it is
+    # PCIe-speed noise. rays_per_second reports device throughput.
+    transfer_seconds: float = 0.0
 
     @property
     def rays_per_second(self) -> float:
@@ -540,8 +546,11 @@ def mesh_pallas_wanted(params: RenderParams, scene: Scene,
     wavefront + per-bounce flash path on every mixed reference scene at
     700x700x100spp d20 — scene 0 65.9M vs 17.2M, scene 2 24.0M vs
     21.0M, scene 3 9.3M vs 8.5M, scene 4 9.7M vs 6.9M rays/s
-    (tools/mesh_pallas_probe.py, 2026-08-19; PERF.md round 3). True
-    forces it (interpret mode on CPU — tests); False keeps the XLA
+    (tools/mesh_pallas_probe.py, 2026-08-19; PERF.md round 3) — and at
+    goat scale: 158k triangles 2.61M vs the reach-sorted XLA champion's
+    2.09M at 512x512x64spp d8 (tools/goat_probe.py --engine megakernel,
+    2026-08-20; PERF.md round 4), so the policy holds with no size cap.
+    True forces it (interpret mode on CPU — tests); False keeps the XLA
     path."""
     from zraytrace_tpu.scene import mesh_materials_const
 
@@ -613,6 +622,46 @@ def untile_pixels(flat, w, h):
     out = np.zeros((w * h,) + flat.shape[1:], flat.dtype)
     out[py[valid] * w + px[valid]] = flat[valid]
     return out
+
+
+def unpermute_lanes(sums, perm):
+    """Invert a profile-balanced (permuted) lane map on decoded slot
+    sums: lane ``l`` of slot ``p`` traced pixel ``perm[l] + p*n``, so
+    plain ``reshape`` decoding needs lane ``inv[j]`` at position ``j``
+    (``perm[inv[j]] == j``). ``sums`` is ``(n_slots, n, 3)``."""
+    perm = np.asarray(perm)
+    inv = np.empty(perm.shape[0], np.int64)
+    inv[perm] = np.arange(perm.shape[0])
+    return np.asarray(sums)[:, inv]
+
+
+def balanced_base(params: RenderParams, scene: Scene, camera, w, h, spp,
+                  n_lanes, n_slots, sample_groups, r_blk, mesh_pallas,
+                  base):
+    """Resolve the profile-balanced megakernel lane map
+    (config.pallas_balance; balance.balanced_base_cached). Returns
+    ``(base ids, permuted_base flag)`` — the identity map when the
+    feature is off or the scene/config does not qualify."""
+    # hard requirements (even under an explicit True): the orbit
+    # rotation assumes the contiguous sphere-scene lane space — the
+    # mesh megakernel's tiled/padded lane ids are not permutable
+    if (mesh_pallas or scene.n_triangles > 0
+            or n_lanes % max(sample_groups, 1)):
+        return base, False
+    want = params.pallas_balance
+    if want is None:
+        want = (sample_groups > 1
+                and jax.default_backend() == "tpu"
+                and w * h * spp >= 100_000_000)
+    if not want:
+        return base, False
+    from zraytrace_tpu.balance import balanced_base_cached
+
+    perm, _stats = balanced_base_cached(
+        scene, camera, w, h, params.max_depth, n_lanes, n_slots,
+        sample_groups, calib_spp=64, seed=params.seed,
+        n_bounce=params.pallas_bounces, r_blk=r_blk)
+    return jnp.asarray(perm), True
 
 
 def render(scene: Scene, camera: cam.Camera, params: RenderParams):
@@ -691,16 +740,24 @@ def render(scene: Scene, camera: cam.Camera, params: RenderParams):
 
         from zraytrace_tpu.scene import material_classes
 
+        g_eff = max(1, min(params.pallas_sample_groups, spp))
+        r_eff = pallas_r_blk(n_lanes, params.pallas_r_blk)
+        base, permuted = balanced_base(params, scene, camera, w, h, spp,
+                                       n_lanes, n_slots, g_eff, r_eff,
+                                       mesh_pallas, base)
         sums, counters = _wavefront_pallas3_jit(
             scene, camera, base, params.seed, w, h, spp, params.max_depth,
             0, n_slots, n_lanes, n_pixels,
             n_bounce=params.pallas_bounces,
-            r_blk=pallas_r_blk(n_lanes, params.pallas_r_blk),
-            sample_groups=max(1, min(params.pallas_sample_groups, spp)),
+            r_blk=r_eff,
+            sample_groups=g_eff,
             mat_classes=material_classes(scene),
             tri_flash=tri_flash if mesh_pallas else None,
+            permuted_base=permuted,
         )
+        permuted_ids = base if permuted else None
     else:
+        permuted_ids = None
         xg = wavefront_groups(params, scene, spp, tile_coherent)
         sums, counters = _wavefront_jit(
             scene, camera, base, params.seed, w, h, spp, params.max_depth,
@@ -718,14 +775,22 @@ def render(scene: Scene, camera: cam.Camera, params: RenderParams):
                     folded[p] += np.roll(s_np[g * n_slots + p],
                                          g * shf, axis=0)
             sums = folded
-    sums = np.asarray(sums).reshape(n_slots * n_lanes, 3)
+    # Counters are tiny: fetching them first marks DEVICE completion
+    # (all outputs of the jit call materialize together; scalar
+    # readback is the reliable sync through the relay — CLAUDE.md).
+    # The slot-sum fetch after it is pure host transfer + decode.
+    totals = np.asarray(counters, np.uint64)
+    t_dev = time.perf_counter()
+    sums = np.asarray(sums).reshape(n_slots, n_lanes, 3)
+    if permuted_ids is not None:
+        sums = unpermute_lanes(sums, permuted_ids)
+    sums = sums.reshape(n_slots * n_lanes, 3)
     if tile_coherent:
         sums = untile_pixels(sums, w, h)
     else:
         # pixel p lives at (slot p // n_lanes, lane p % n_lanes)
         sums = sums[:n_pixels]
     image_np = (sums / spp).reshape(h, w, 3)
-    totals = np.asarray(counters, np.uint64)
     t2 = time.perf_counter()
 
     rays, refl, bg, rec, samples, iters = _counters_to_ints(totals)
@@ -736,5 +801,6 @@ def render(scene: Scene, camera: cam.Camera, params: RenderParams):
     stats.samples = samples
     stats.wavefront_iterations = iters
     stats.preprocess_seconds = t1 - t0
-    stats.render_seconds = t2 - t1
+    stats.render_seconds = t_dev - t1
+    stats.transfer_seconds = t2 - t_dev
     return image_np, stats
