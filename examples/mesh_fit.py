@@ -38,6 +38,21 @@ def main():
                     help="edge bandwidth (the pair (eps, 2*eps) is "
                          "used); wider reaches further from the "
                          "silhouette but biases more")
+    ap.add_argument("--occlusion", choices=("off", "camera", "all"),
+                    default="camera",
+                    help="t-crossing occlusion term: off, camera "
+                         "segments only (round-4 default), or every "
+                         "bounce (swamps the pose signal at mesh "
+                         "scale; round 3)")
+    ap.add_argument("--coarse", type=float, default=1.0,
+                    help="coarse-to-fine bandwidth schedule: start at "
+                         "coarse*eps and decay geometrically to eps "
+                         "over the first 60%% of steps (1.0 = off). "
+                         "Far inits (--init >= 1) need it: the tight "
+                         "band's silhouette gradient turns unreliable "
+                         "mid-range (tools/occl_grad_probe.py, round "
+                         "4); eps is traced, so the schedule costs no "
+                         "recompiles")
     args = ap.parse_args()
 
     if args.cpu:
@@ -87,27 +102,34 @@ def main():
                              tri_b=base.tri_b + off,
                              tri_c=base.tri_c + off)
 
-    def image_at(off):
+    def image_at(off, eps):
         scene = scene_at(off)
         tri_flash = pack_tri_planes(scene.tri_a, scene.tri_b,
                                     scene.tri_c, order=order)
-        # occlusion term OFF: a 6k-triangle mesh has thousands of
-        # internal t-crossings whose tight-bandwidth score terms are
-        # zero-mean but high-variance — at fit-size sample counts they
-        # swamp the pose signal (FD-checked: axis gradients went from
-        # 12x-off/wrong-sign to right-sign within ~2.5x). Pose signal
-        # lives in the exterior silhouettes.
+        # occlusion term default: CAMERA SEGMENTS only (round 4) — a
+        # 6k-triangle mesh has thousands of internal t-crossings on
+        # bounce rays whose tight-bandwidth terms are zero-mean but
+        # high-variance; at every bounce they swamp the pose signal
+        # (round 3, FD-checked: axis gradients 12x-off/wrong-sign).
+        occ = {"off": False, "camera": "camera", "all": True}[
+            args.occlusion]
         return render_diff(scene, camera, args.size, args.size,
                            args.spp, args.depth, mesh_fast=True,
                            tri_flash=tri_flash,
-                           edge_eps=(args.eps, 2 * args.eps),
-                           edge_occlusion=False)
+                           edge_eps=(eps, 2 * eps),
+                           edge_occlusion=occ)
 
     true_off = jnp.asarray([0.0, 0.0, 0.0], jnp.float32)
-    target = jax.lax.stop_gradient(image_at(true_off))
+    target = jax.lax.stop_gradient(
+        image_at(true_off, jnp.float32(args.eps)))
 
-    def loss_fn(off):
-        return jnp.mean((image_at(off) - target) ** 2)
+    def loss_fn(off, eps):
+        return jnp.mean((image_at(off, eps) - target) ** 2)
+
+    def eps_at(i):
+        # geometric decay coarse*eps -> eps over the first 60% of steps
+        frac = min(1.0, i / max(1, int(0.6 * args.steps)))
+        return jnp.float32(args.eps * args.coarse ** (1.0 - frac))
 
     opt = optax.adam(args.lr)
     init_off = jnp.asarray([0.5, -0.35, 0.45], jnp.float32) * args.init
@@ -115,13 +137,13 @@ def main():
     state = opt.init(off)
 
     @jax.jit
-    def step(off, state):
-        val, g = jax.value_and_grad(loss_fn)(off)
+    def step(off, state, eps):
+        val, g = jax.value_and_grad(loss_fn)(off, eps)
         upd, state = opt.update(g, state)
         return optax.apply_updates(off, upd), state, val
 
     t0 = time.time()
-    off1, state1, val = step(off, state)
+    off1, state1, val = step(off, state, eps_at(0))
     jax.block_until_ready(val)
     print(f"compile+step0: {time.time() - t0:.1f}s "
           f"(tris={base.n_triangles})", flush=True)
@@ -129,7 +151,7 @@ def main():
     t0 = time.time()
     off, state = off1, state1
     for i in range(1, args.steps):
-        off, state, val = step(off, state)
+        off, state, val = step(off, state, eps_at(i))
         if i % 10 == 0 or i == args.steps - 1:
             err = float(jnp.linalg.norm(off - true_off))
             print(f"step {i:3d} loss {float(val):.3e} "

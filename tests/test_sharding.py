@@ -264,3 +264,18 @@ def test_sharded_pallas_receives_tuned_knobs(monkeypatch):
         params.pallas_sample_groups, params.samples_per_pixel)
     assert captured["mat_classes"] is not None
     assert captured["r_blk"] >= 1
+
+
+def test_sharded_wavefront_closure_is_cached():
+    """render_sharded must reuse the jitted shard_map closure across
+    calls with the same static config — a fresh closure per call
+    re-traces and re-walks the compile path every render (measured as
+    a 14x slowdown through the TPU relay, round 4)."""
+    from zraytrace_tpu.parallel.mesh import _sharded_wavefront
+
+    mesh = make_mesh(n_data=1, n_sample=1, devices=jax.devices()[:1])
+    f1 = _sharded_wavefront(mesh, 2, True, 6, r_blk=8, sample_groups=2)
+    f2 = _sharded_wavefront(mesh, 2, True, 6, r_blk=8, sample_groups=2)
+    assert f1 is f2
+    f3 = _sharded_wavefront(mesh, 2, True, 6, r_blk=8, sample_groups=4)
+    assert f3 is not f1

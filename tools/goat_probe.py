@@ -76,6 +76,9 @@ def main():
     # never measured at goat scale before round 4)
     ap.add_argument("--engine", choices=("wavefront", "megakernel"),
                     default="wavefront")
+    ap.add_argument("--tiled-base", action="store_true",
+                    help="megakernel: 8x8 tile-coherent permuted base "
+                         "(needs width | n_lanes and 8 | width)")
     args = ap.parse_args()
 
     from zraytrace_tpu.geometry.bvh import build_tri_bvh
@@ -119,7 +122,27 @@ def main():
                             max_depth=1)
         n_lanes = min(-(-n_pix // 256) * 256, dflt.pallas_max_wavefront)
         n_slots = -(-n_pix // n_lanes)
-        base = jnp.arange(n_lanes, dtype=jnp.int32)
+        permuted = False
+        if args.tiled_base and n_lanes % size == 0 and size % 8 == 0:
+            # tile-coherent PERMUTED base (round 4): map lanes to 8x8
+            # pixel tiles inside the first window's row band. When the
+            # image width divides n_lanes, every later window is a PURE
+            # row translate of the base set (+ n_lanes pixels = exactly
+            # n_lanes//size rows), so tiles survive every slot and
+            # sample-group rotation intact. Compact tiles shrink the
+            # per-block ray-direction spread for camera segments, which
+            # is what the flash kernel's SMEM chunk work lists cull by.
+            l = np.arange(n_lanes)
+            t, i = l // 64, l % 64
+            tc_n = size // 8
+            tr, tc = t // tc_n, t % tc_n
+            base_np = ((tr * 8 + i // 8) * size + tc * 8 + i % 8)
+            assert sorted(base_np.tolist()) == list(range(n_lanes))
+            base = jnp.asarray(base_np, jnp.int32)
+            permuted = True
+            print("megakernel base: 8x8 tiled permutation", flush=True)
+        else:
+            base = jnp.arange(n_lanes, dtype=jnp.int32)
 
         def run(spp, start):
             sums, cnts = _wavefront_pallas3_jit(
@@ -130,6 +153,7 @@ def main():
                 sample_groups=max(1, min(dflt.pallas_sample_groups, spp)),
                 mat_classes=material_classes(scene),
                 tri_flash=planes,
+                permuted_base=permuted,
             )
             _ = float(jnp.sum(cnts[0]).astype(jnp.float32))
             return sums, cnts

@@ -25,23 +25,30 @@ from zraytrace_tpu.scenes import build_scene
 def main():
     scene_idx = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     spp = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+    size = int(sys.argv[3]) if len(sys.argv) > 3 else 700
     built = build_scene(scene_idx)
-    params = RenderParams(width=700, height=700, samples_per_pixel=spp,
+    params = RenderParams(width=size, height=size, samples_per_pixel=spp,
                           max_depth=20)
     mesh = make_mesh(n_data=1, n_sample=1)
 
-    # warm both programs (spp traced: same program any spp)
-    warm = RenderParams(width=700, height=700, samples_per_pixel=2,
+    # warm both programs (spp traced: same program any spp) — NOTE the
+    # warm spp keeps auto-balance OFF only below 1e8 samples; the main
+    # config may resolve the balanced map (a different program via
+    # permuted_base), so both entry points must agree on the gate —
+    # exactly what this check exercises on sphere scenes at size 1000
+    warm = RenderParams(width=size, height=size, samples_per_pixel=2,
                         max_depth=20)
     render(built.scene, built.camera, warm)
     render_sharded(built.scene, built.camera, warm, mesh)
 
-    t0 = time.time()
+    # time the SECOND run of each program: through the relay the first
+    # execution after a compile/eviction routinely costs 2-4x steady
+    # state (observed across rounds), which would swamp the ~10% rate
+    # bar this check exists to enforce
+    render(built.scene, built.camera, params)
     img_s, st_s = render(built.scene, built.camera, params)
-    t_single = time.time() - t0
-    t0 = time.time()
+    render_sharded(built.scene, built.camera, params, mesh)
     img_m, st_m = render_sharded(built.scene, built.camera, params, mesh)
-    t_shard = time.time() - t0
 
     bit_identical = bool(np.array_equal(img_s, img_m))
     print(f"scene={scene_idx} spp={spp} "

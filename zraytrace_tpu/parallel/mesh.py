@@ -20,6 +20,7 @@ Multi-host: the same SPMD program runs on every host after
 
 from __future__ import annotations
 
+import functools
 import math
 from functools import partial
 
@@ -64,6 +65,7 @@ def shard_lanes(lanes: jnp.ndarray, mesh: Mesh):
     return jax.device_put(lanes, NamedSharding(mesh, P(DATA_AXIS)))
 
 
+@functools.lru_cache(maxsize=32)
 def _sharded_wavefront(mesh: Mesh, n_slots: int, use_pallas: bool,
                        n_bounce: int, r_blk: int = 32,
                        sample_groups: int = 1, mat_classes=None,
@@ -81,7 +83,12 @@ def _sharded_wavefront(mesh: Mesh, n_slots: int, use_pallas: bool,
     the deferred-mesh-hit megakernel (render.mesh_pallas_wanted policy),
     and the XLA mesh fallback gets the same tile-coherent lane map +
     sample interleave as ``render()`` (the knob set whose absence cost
-    2-8x in PERF.md's measurements — VERDICT round 2 item 3)."""
+    2-8x in PERF.md's measurements — VERDICT round 2 item 3).
+
+    lru_cached on the static config (round 4): without it every
+    ``render_sharded`` call built a fresh jitted closure, so each call
+    re-traced and went through the relay's warm-compile path (~10 s) —
+    measured as a 0.07 rate ratio vs ``render()`` before the fix."""
 
     def fn(scene, camera, pixel_ids, seed, width, height, spp_local,
            max_depth, sample_starts, stride, n_pixels, tri_bvh, tri_flash):
@@ -277,6 +284,11 @@ def render_sharded(
 
         sums = multihost_utils.process_allgather(sums, tiled=True)
         counters = multihost_utils.process_allgather(counters, tiled=True)
+    # counters first: the tiny fetch is the device-completion sync
+    # (same split as render() — the slot-sum fetch through the relay
+    # costs ~0.4-0.5 s and is transfer, not render)
+    c = np.asarray(counters).astype(np.uint64)
+    t_dev = time.perf_counter()
     s_np = np.asarray(sums)
     if xg > 1:
         # fold the interleaved group planes back per SHARD: group g of
@@ -309,7 +321,6 @@ def render_sharded(
         sums = sums[:n_pixels]
     # (grid, 6, 2) two-limb uint32 -> per-shard ints -> totals (carries
     # cannot be summed limb-wise).
-    c = np.asarray(counters).astype(np.uint64)
     totals = (c[..., 0] * (1 << 32) + c[..., 1]).sum(axis=0)
     t2 = time.perf_counter()
 
@@ -319,6 +330,7 @@ def render_sharded(
         rays=rays, reflections=refl, background_hits=bg,
         recursion_depth_hits=rec, samples=samples, pixels=n_pixels,
         wavefront_iterations=iters,
-        preprocess_seconds=t1 - t0, render_seconds=t2 - t1,
+        preprocess_seconds=t1 - t0, render_seconds=t_dev - t1,
+        transfer_seconds=t2 - t_dev,
     )
     return image, stats

