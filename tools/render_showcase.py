@@ -51,14 +51,17 @@ def render_scene(scene_idx, outdir, spp=None, size=None, depth=None,
     scene = built.scene
     use_pallas = scene.n_triangles == 0  # megakernel: the bench engine
 
-    if use_pallas and lanes is None:
-        # Sphere scenes go through the PRODUCT entry point render()
+    if lanes is None:
+        # Every scene goes through the PRODUCT entry point render()
         # itself (round-4 verdict item 4: the sweep's recorded rate is
         # the user-facing engine's, not a hand-built twin). render()
-        # resolves the same megakernel knobs, the cached balanced lane
-        # map and the single dispatch bench.py times; the wall here
-        # additionally includes the one slot-sum fetch through the
-        # relay, which is the product's real cost.
+        # resolves the megakernel knobs (sphere scenes AND the
+        # deferred-mesh-hit mixed-scene path, auto-ON on TPU), the
+        # cached balanced lane map, and the single dispatch bench.py
+        # times — all mixed reference scenes fit the relay's ~2 min
+        # execution deadline in one dispatch at the sweep configs
+        # (scene 3 8.6 s, scene 4 8.4 s; PERF.md round 4). Pass an
+        # explicit --lanes to fall back to the hand-built XLA path.
         from zraytrace_tpu.io.png import write_png as _write_png
         from zraytrace_tpu.render import render as _render_full
 
