@@ -210,3 +210,28 @@ def test_branch_grad_isolation():
     assert np.isfinite(np.asarray(g_on["mat_ior"])).all()
     assert not np.array_equal(np.asarray(g_on["mat_ior"]),
                               np.asarray(g_off["mat_ior"]))
+
+
+def test_fit_coarse_to_fine_schedule():
+    """fit(coarse_to_fine=...) decays the edge bandwidth over the run
+    (traced multiplier — one program) and still descends; 1.0 keeps
+    the legacy call signature bit-compatible."""
+    scene, camera = _simple_scene()
+    w = h = 10
+    target = np.asarray(render_diff(scene, camera, w, h, 4, 3, seed=11))
+    params, static = split_scene(scene)
+    moved = merge_scene(
+        {**params, "sph_center":
+         jnp.asarray(params["sph_center"]).at[0, 0].add(0.35)}, static)
+
+    kw = dict(spp=4, max_depth=3, steps=14, learning_rate=3e-2, seed=11,
+              optimize_fields=("sph_center",), edge_eps=(0.02, 0.04))
+    r_sched = fit(moved, camera, target, w, h, coarse_to_fine=5.0, **kw)
+    r_plain = fit(moved, camera, target, w, h, **kw)
+    ls, lp = np.asarray(r_sched.losses), np.asarray(r_plain.losses)
+    assert ls[-1] < ls[0], ls[[0, -1]]
+    # the schedule must actually change the trajectory...
+    assert not np.allclose(ls, lp)
+    # ...and end at the tight bandwidth: the last-step losses are
+    # computed from nearby geometry either way
+    assert np.isfinite(ls).all() and np.isfinite(lp).all()

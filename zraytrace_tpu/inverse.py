@@ -66,7 +66,7 @@ def make_loss_fn(static, camera, target, width, height, spp, max_depth,
     item 6: no more silent brute O(N*T) winner scans at teapot scale).
     """
 
-    def loss_fn(params):
+    def loss_fn(params, eps_scale=None):
         scene = merge_scene(params, static)
         tf = None
         if tri_order is not None:
@@ -74,8 +74,14 @@ def make_loss_fn(static, camera, target, width, height, spp, max_depth,
 
             tf = pack_tri_planes(scene.tri_a, scene.tri_b, scene.tri_c,
                                  order=tri_order)
+        eps = edge_eps
+        if eps is not None and eps_scale is not None:
+            # coarse-to-fine schedules pass a traced per-step bandwidth
+            # multiplier (fit(coarse_to_fine=...)) — no recompiles
+            eps = (tuple(e * eps_scale for e in eps)
+                   if isinstance(eps, (tuple, list)) else eps * eps_scale)
         img = render_diff(scene, camera, width, height, spp, max_depth,
-                          seed=seed, edge_eps=edge_eps, tri_flash=tf,
+                          seed=seed, edge_eps=eps, tri_flash=tf,
                           mesh_fast=True if tf is not None else None)
         return image_loss(img, target)
 
@@ -134,6 +140,7 @@ def fit(
     checkpoint_path=None,
     checkpoint_every: int = 10,
     edge_eps=None,
+    coarse_to_fine: float = 1.0,
 ) -> FitResult:
     """Gradient-descend scene parameters toward a target image.
 
@@ -153,6 +160,16 @@ def fit(
     ``checkpoint_every`` steps and resume from it if present. Because the
     loss is deterministic (stateless RNG), a resumed fit is bit-identical
     to an uninterrupted one.
+
+    ``coarse_to_fine``: start the edge bandwidth at ``coarse_to_fine *
+    edge_eps`` and decay geometrically to ``edge_eps`` over the first
+    60% of steps (1.0 = off). Far initializations need it: the
+    tight-band silhouette gradient turns unreliable mid-range
+    (tools/occl_grad_probe.py; the teapot pose fit from init 1.0
+    stalls at pose error 0.85 without the schedule and converges to
+    0.066 in 120 steps with it — PERF.md round 4). The multiplier is
+    traced, so the schedule costs no recompiles; checkpoints resume
+    bit-identically because the scale is a pure function of the step.
     """
     params, static = split_scene(scene_init)
     target = jnp.asarray(target, jnp.float32)
@@ -196,17 +213,27 @@ def fit(
         fp = scene_fingerprint(
             static, camera,
             extra=(width, height, spp, max_depth, seed, learning_rate,
-                   tuple(sorted(optimize_fields)), tuple(sorted(fd_fields))),
+                   tuple(sorted(optimize_fields)), tuple(sorted(fd_fields)),
+                   float(coarse_to_fine)),
         )
         resumed = load_fit_checkpoint(checkpoint_path, params, opt_state, fp)
         if resumed is not None:
             params, opt_state, start, saved_losses = resumed
             losses = [jnp.asarray(v) for v in saved_losses]
 
+    def eps_scale_at(i):
+        if coarse_to_fine == 1.0 or edge_eps is None:
+            return None  # legacy signature: no retrace, bit-compatible
+        frac = min(1.0, i / max(1, int(0.6 * steps)))
+        return jnp.float32(coarse_to_fine ** (1.0 - frac))
+
     for i in range(start, steps):
-        loss, grads = vg_jit(params)
+        sc = eps_scale_at(i)
+        loss, grads = vg_jit(params) if sc is None else vg_jit(params, sc)
         if fd_fields:
-            grads = {**grads, **fd_gradients(loss_jit, params, fd_fields)}
+            lf = loss_jit if sc is None else (
+                lambda p, _s=sc: loss_jit(p, _s))
+            grads = {**grads, **fd_gradients(lf, params, fd_fields)}
         params, opt_state = apply(params, opt_state, grads)
         losses.append(loss)
         if checkpoint_path and ((i + 1) % checkpoint_every == 0
