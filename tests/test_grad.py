@@ -235,3 +235,25 @@ def test_fit_coarse_to_fine_schedule():
     # ...and end at the tight bandwidth: the last-step losses are
     # computed from nearby geometry either way
     assert np.isfinite(ls).all() and np.isfinite(lp).all()
+
+
+def test_branch_grad_isolation_under_edge_eps():
+    """The REINFORCE score reaches only mat_ior, and the refraction
+    bandwidth amp rides with edge_eps, NOT with branch_grad — so
+    toggling branch_grad must not move geometry gradients even with
+    edge factors on (round-4 review fix: the amp used to vanish when
+    branch_grad was off, silently dropping the lensed-silhouette
+    term)."""
+    scene, camera = _simple_scene(with_glass=True)
+
+    def grad_center(bg):
+        def loss(c):
+            img = render_diff(scene._replace(sph_center=c), camera,
+                              10, 10, 4, 4, edge_eps=(0.02, 0.04),
+                              branch_grad=bg)
+            return jnp.mean(img)
+        return np.asarray(jax.grad(loss)(scene.sph_center))
+
+    g_on, g_off = grad_center(True), grad_center(False)
+    assert np.isfinite(g_on).all()
+    np.testing.assert_allclose(g_on, g_off, rtol=1e-6, atol=1e-9)

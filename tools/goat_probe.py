@@ -203,8 +203,17 @@ def main():
 
         flat = total.reshape(-1, 3)
         if args.engine == "megakernel":
-            # contiguous mapping: pixel p = (slot p // n_lanes, lane
-            # p % n_lanes); group planes were already folded in-kernel
+            # pixel p = (slot p // n_lanes, lane p % n_lanes); group
+            # planes were already folded in-kernel. A --tiled-base run
+            # used a PERMUTED base, which must be inverted first
+            # (render.unpermute_lanes — the missing inversion is the
+            # scrambled-image bug class from round 4)
+            if permuted:
+                from zraytrace_tpu.render import unpermute_lanes
+
+                flat = unpermute_lanes(
+                    flat.reshape(n_slots, n_lanes, 3),
+                    np.asarray(base)).reshape(-1, 3)
             dst = flat[:n_pix]
         else:
             from zraytrace_tpu.render import untile_pixels

@@ -86,8 +86,9 @@ def render_scene(scene_idx, outdir, spp=None, size=None, depth=None,
               f"({dt:.1f}s render + {st.transfer_seconds:.1f}s fetch; "
               f"render() product path)", file=sys.stderr, flush=True)
         return
-    if lanes is None:  # explicit --lanes always wins
-        lanes = dflt.pallas_max_wavefront if use_pallas else 1 << 17
+    # from here down: the hand-built XLA-engine path, reachable only
+    # with an explicit --lanes (the product-path block above returns
+    # for every lanes=None call)
     tri_flash = None
     tile = False
     if scene.n_triangles > 0:

@@ -163,10 +163,17 @@ def balanced_base_cached(scene, camera, width, height, max_depth,
     import os
     import tempfile
 
+    # every Scene leaf that shapes the texel-miss profile the
+    # calibration measures: geometry, material routing, AND the full
+    # texture tables (tex_type flips color<->image, tex_image/
+    # tex_offset move which texels a pixel touches, atlas_hw changes
+    # the flat indices) — omitting any of these silently reuses a perm
+    # calibrated for a different miss profile
     parts = [np.asarray(x).tobytes() for x in (
         scene.sph_center, scene.sph_radius, scene.sph_mat,
-        scene.mat_type, scene.mat_ior, scene.mat_tex, scene.tex_color,
-        scene.atlas)]
+        scene.mat_type, scene.mat_ior, scene.mat_tex, scene.tex_type,
+        scene.tex_color, scene.tex_image, scene.tex_offset,
+        scene.atlas_hw, scene.atlas)]
     for v in camera:
         parts.append(np.asarray(v).tobytes())
     parts.append(np.asarray(

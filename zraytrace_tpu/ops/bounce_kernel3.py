@@ -156,9 +156,12 @@ VMEM_LIMIT = 100 * 1024 * 1024
 # PCG4D streams are keyed by (pixel, sample) — event counters stay
 # bit-exact under any schedule; pixel sums change only in float
 # summation order (group partial sums).
-# 6 FIFO entries win at the 65536-lane default (727.3M vs 717.2M at 4;
-# 8 and 12 regress — compare-chain cost); at 131072 lanes the curve was
-# flat past 4 (PERF.md).
+# Cache size tracks the slot count: with K_TEX=4 the round-3 sweep had
+# 6 FIFO entries winning (727.3M; 8 regressed on compare-chain cost),
+# but the round-4 park-fold/packed-record kernel at K_TEX=6 stretches
+# launches far enough that 8 entries pay for their chain (755.4M vs
+# 737.5M at 6 — PERF.md round 4; K_TEX=8 loses, the wider per-launch
+# gather outcosts its launch savings).
 N_CACHE = int(_os.environ.get("ZRAYTRACE_K3_CACHE", "8"))
 K_TEX = int(_os.environ.get("ZRAYTRACE_K3_TEX", "6"))
 M_REC = int(_os.environ.get("ZRAYTRACE_K3_REC", "4"))
@@ -937,6 +940,15 @@ def wavefront_trace_pallas3(
     shape = (R, LANE)
     G = int(sample_groups)
     assert G >= 1
+    # The packed record id is slot | tmask << 16 (records section of
+    # make_bounce_kernel3): the slot counter sweeps pixel stripes x
+    # sample groups and must fit 16 bits or record sums decode into the
+    # wrong stripe/texel. Reachable only with a pathologically narrow
+    # wavefront on a huge image (e.g. 256 lanes x 4M pixels); every
+    # product configuration is ~16 slots x G=8.
+    assert n_slots * G < (1 << 16), (
+        f"slot counter {n_slots}x{G} overflows the 16-bit packed "
+        "record id — widen the wavefront (n_lanes) for this image")
 
     n_gb = G - 1 if (permuted_base and G > 1) else 0
     n_state = N_STATE + n_gb

@@ -758,6 +758,12 @@ def render(scene: Scene, camera: cam.Camera, params: RenderParams):
             permuted_base=permuted,
         )
         permuted_ids = base if permuted else None
+        # counters are tiny: fetching them first marks DEVICE completion
+        # (all outputs materialize together; scalar readback is the
+        # reliable sync through the relay — CLAUDE.md); everything after
+        # t_dev is host transfer + decode
+        totals = np.asarray(counters, np.uint64)
+        t_dev = time.perf_counter()
     else:
         permuted_ids = None
         xg = wavefront_groups(params, scene, spp, tile_coherent)
@@ -767,6 +773,8 @@ def render(scene: Scene, camera: cam.Camera, params: RenderParams):
             0, tri_bvh, n_lanes, n_pixels, n_slots, tri_flash,
             tile_coherent, xg,
         )
+        totals = np.asarray(counters, np.uint64)  # device sync (above)
+        t_dev = time.perf_counter()
         if xg > 1:
             # fold group planes back onto the caller's positions: group
             # g's lane i traced position (i + g*shift) mod n + p*stride
@@ -778,12 +786,6 @@ def render(scene: Scene, camera: cam.Camera, params: RenderParams):
                     folded[p] += np.roll(s_np[g * n_slots + p],
                                          g * shf, axis=0)
             sums = folded
-    # Counters are tiny: fetching them first marks DEVICE completion
-    # (all outputs of the jit call materialize together; scalar
-    # readback is the reliable sync through the relay — CLAUDE.md).
-    # The slot-sum fetch after it is pure host transfer + decode.
-    totals = np.asarray(counters, np.uint64)
-    t_dev = time.perf_counter()
     sums = np.asarray(sums).reshape(n_slots, n_lanes, 3)
     if permuted_ids is not None:
         sums = unpermute_lanes(sums, permuted_ids)

@@ -111,12 +111,19 @@ def trace_paths(
         radiance=jnp.zeros((n, 3), jnp.float32),
         alive=jnp.ones((n,), bool),
     )
-    if branch_grad:
-        init["score"] = jnp.zeros((n,), jnp.float32)
+    # the amp carry rides with EDGE factors, not with branch_grad: the
+    # refraction-amplified bandwidths (the round-4 lensed-silhouette
+    # fix) must apply whenever edge_eps is on, or toggling branch_grad
+    # would change geometry/camera gradients and break the isolation
+    # claim (materials.scatter docstring)
+    want_amp = edge_eps is not None
+    if branch_grad or want_amp:
         # per-ray edge-bandwidth amplification (edge_grad.edge_factor
         # eps_scale): product of refraction angular magnifications,
         # reset by diffuse bounces
         init["amp"] = jnp.ones((n,), jnp.float32)
+    if branch_grad:
+        init["score"] = jnp.zeros((n,), jnp.float32)
         baseline = (jnp.zeros((n, 3), jnp.float32) if score_baseline is None
                     else jax.lax.stop_gradient(score_baseline))
 
@@ -152,7 +159,7 @@ def trace_paths(
         out = mat.scatter(
             scene, state["d"], h["normal"], h["front_face"], h["uv"], h["mat_id"],
             rnd, bilinear_textures=bilinear_textures,
-            branch_grad=branch_grad,
+            branch_grad=branch_grad or want_amp,
         )
         new_dir, atten, absorbed = out[:3]
         alive = state["alive"]
@@ -186,6 +193,7 @@ def trace_paths(
             ) * score0
             new_state["radiance"] = radiance + reinforce
             new_state["score"] = score
+        if branch_grad or want_amp:
             # bandwidth amp carry: 0 marks a diffuse bounce (reset)
             mul = out[4]
             amp2 = jnp.where(mul == 0.0, 1.0,
