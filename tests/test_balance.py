@@ -140,3 +140,18 @@ def test_unpermute_lanes_inverts_unscramble():
     out = unpermute_lanes(sums, perm).reshape(slots * n, 3)
     ref = _unscramble(sums, perm, slots * n)
     np.testing.assert_array_equal(out, ref)
+
+
+def test_packed_record_slot_guard():
+    """The packed record id (slot | mask << 16) limits the slot counter
+    to 16 bits; configurations that would overflow it must be refused
+    loudly, not silently corrupt records (round-4 review finding)."""
+    import pytest
+
+    built = three_balls()
+    n_pix = 5000 * 4096  # 20.5M pixels at 256 lanes -> 80000 slots
+    with pytest.raises(AssertionError, match="16-bit packed"):
+        wavefront_trace_pallas3(
+            built.scene, built.camera, jnp.arange(256, dtype=jnp.int32),
+            42, 4096, 5000, 1, 3, 0, 80000, 256, n_pix, n_bounce=4,
+        )
