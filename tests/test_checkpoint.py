@@ -124,3 +124,34 @@ def test_fit_checkpoint_rejects_config_change(tmp_path):
         fit(scene, camera, target, width=w, height=h, spp=2, max_depth=2,
             steps=2, optimize_fields=("sph_radius",), seed=99,
             checkpoint_path=ck, checkpoint_every=1)
+
+
+def test_checkpointed_megakernel_resume_bitexact(tmp_path):
+    """render_checkpointed routes sphere scenes through the megakernel
+    (use_pallas) — resume must stay bit-identical and counters must
+    match an unchunked render() of the same config (streams keyed by
+    absolute sample index)."""
+    from zraytrace_tpu.render import render
+    from zraytrace_tpu.scenes import three_balls
+
+    built = three_balls()
+    params = RenderParams(width=16, height=16, samples_per_pixel=6,
+                          max_depth=3, use_pallas=True)
+    p1, p2 = tmp_path / "a.npz", tmp_path / "b.npz"
+    img_full, st_full = render_checkpointed(
+        built.scene, built.camera, params, p1, chunk_spp=2)
+
+    partial = RenderParams(width=16, height=16, samples_per_pixel=2,
+                           max_depth=3, use_pallas=True)
+    render_checkpointed(built.scene, built.camera, partial, p2,
+                        chunk_spp=2)
+    img_res, st_res = render_checkpointed(
+        built.scene, built.camera, params, p2, chunk_spp=2)
+    np.testing.assert_array_equal(img_full, img_res)
+    assert st_full.rays == st_res.rays
+
+    img_r, st_r = render(built.scene, built.camera, params)
+    assert st_r.rays == st_full.rays
+    assert st_r.samples == st_full.samples
+    d = np.abs(np.asarray(img_r) - img_full)
+    assert np.median(d) < 1e-5 and (d > 1e-4).mean() < 0.05

@@ -198,7 +198,9 @@ def render_checkpointed(
     import jax
     import jax.numpy as jnp
 
-    from zraytrace_tpu.render import _wavefront_jit, maybe_build_bvh
+    from zraytrace_tpu.render import (
+        _wavefront_jit, maybe_build_bvh, pallas_r_blk, pallas_wanted,
+    )
 
     w, h = params.width, params.height
     n = w * h
@@ -208,7 +210,20 @@ def render_checkpointed(
     n_lanes = min(n, params.max_wavefront)
     tri_bvh = maybe_build_bvh(scene, params)
     tri_flash = None
-    if (tri_bvh is None and scene.n_triangles > 0
+    # Sphere scenes route through the bounce megakernel like render()
+    # (round 4 — a checkpointed 7-spheres render used to pay ~9x for
+    # the XLA engine). Chunks land on the identity lane map (no
+    # balanced base: the chunk accumulator would have to unpermute
+    # every save; checkpointed renders already amortize their device
+    # time over chunk_spp) and streams stay keyed by absolute sample
+    # index, so resume remains bit-identical.
+    use_pallas = pallas_wanted(params, scene, n)
+    if use_pallas:
+        pl_cap = params.pallas_max_wavefront // 256 * 256
+        if pl_cap >= 256 and n_lanes > pl_cap:
+            n_lanes = pl_cap
+        n_lanes = -(-n_lanes // 256) * 256
+    elif (tri_bvh is None and scene.n_triangles > 0
             and jax.default_backend() == "tpu"):
         from zraytrace_tpu.ops.flash_intersect import pack_tri_planes
 
@@ -245,10 +260,27 @@ def render_checkpointed(
     t0 = time.perf_counter()
     while done < params.samples_per_pixel:
         step = min(chunk_spp, params.samples_per_pixel - done)
-        sums, cnts = _wavefront_jit(
-            scene, camera, ids, params.seed, w, h, step, params.max_depth,
-            done, tri_bvh, n_lanes, n, n_slots, tri_flash,
-        )
+        if use_pallas:
+            from zraytrace_tpu.ops.bounce_kernel3 import (
+                _wavefront_pallas3_jit,
+            )
+            from zraytrace_tpu.scene import material_classes
+
+            sums, cnts = _wavefront_pallas3_jit(
+                scene, camera, ids, params.seed, w, h, step,
+                params.max_depth, done, n_slots, n_lanes, n,
+                n_bounce=params.pallas_bounces,
+                r_blk=pallas_r_blk(n_lanes, params.pallas_r_blk),
+                sample_groups=max(
+                    1, min(params.pallas_sample_groups, step)),
+                mat_classes=material_classes(scene),
+            )
+        else:
+            sums, cnts = _wavefront_jit(
+                scene, camera, ids, params.seed, w, h, step,
+                params.max_depth, done, tri_bvh, n_lanes, n, n_slots,
+                tri_flash,
+            )
         jax.block_until_ready(sums)
         flat = np.asarray(sums, np.float64).reshape(n_slots * n_lanes, 3)[:n]
         pixel_sum += flat
