@@ -155,3 +155,41 @@ def test_checkpointed_megakernel_resume_bitexact(tmp_path):
     assert st_r.samples == st_full.samples
     d = np.abs(np.asarray(img_r) - img_full)
     assert np.median(d) < 1e-5 and (d > 1e-4).mean() < 0.05
+
+
+def test_checkpointed_mesh_megakernel_resume(tmp_path):
+    """Mixed scenes route through the deferred-mesh-hit megakernel in
+    render_checkpointed (pallas_mesh=True forces interpret mode on
+    CPU); resume bit-identical, counters equal render()'s."""
+    from zraytrace_tpu import camera as cam
+    from zraytrace_tpu.render import render
+    from zraytrace_tpu.scene import SceneBuilder
+
+    b = SceneBuilder()
+    b.add_sphere((0.0, -100.5, -1.0), 100.0,
+                 b.add_lambertian_color((0.5, 0.5, 0.5)))
+    b.add_sphere((-1.2, 0.0, -1.0), 0.5,
+                 b.add_metal_color((0.8, 0.6, 0.2)))
+    tri = np.asarray([[[1.0, -0.4, -1.0]], [[1.6, -0.4, -1.0]],
+                      [[1.3, 0.5, -1.0]]], np.float32)
+    b.add_triangles(tri[0], tri[1], tri[2],
+                    b.add_metal_color((0.9, 0.9, 0.9)))
+    scene = b.build()
+    camera = cam.make_camera((0, 0.5, 2.0), (0.3, 0, -1), (0, 1, 0),
+                             60.0, 1.0)
+
+    params = RenderParams(width=16, height=16, samples_per_pixel=4,
+                          max_depth=3, pallas_mesh=True)
+    p1, p2 = tmp_path / "a.npz", tmp_path / "b.npz"
+    img_full, st_full = render_checkpointed(scene, camera, params, p1,
+                                            chunk_spp=2)
+    partial = RenderParams(width=16, height=16, samples_per_pixel=2,
+                           max_depth=3, pallas_mesh=True)
+    render_checkpointed(scene, camera, partial, p2, chunk_spp=2)
+    img_res, st_res = render_checkpointed(scene, camera, params, p2,
+                                          chunk_spp=2)
+    np.testing.assert_array_equal(img_full, img_res)
+    assert st_full.rays == st_res.rays
+
+    img_r, st_r = render(scene, camera, params)
+    assert st_r.rays == st_full.rays

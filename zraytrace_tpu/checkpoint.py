@@ -199,7 +199,8 @@ def render_checkpointed(
     import jax.numpy as jnp
 
     from zraytrace_tpu.render import (
-        _wavefront_jit, maybe_build_bvh, pallas_r_blk, pallas_wanted,
+        _wavefront_jit, maybe_build_bvh, mesh_pallas_wanted, pallas_r_blk,
+        pallas_wanted,
     )
 
     w, h = params.width, params.height
@@ -210,14 +211,30 @@ def render_checkpointed(
     n_lanes = min(n, params.max_wavefront)
     tri_bvh = maybe_build_bvh(scene, params)
     tri_flash = None
-    # Sphere scenes route through the bounce megakernel like render()
-    # (round 4 — a checkpointed 7-spheres render used to pay ~9x for
-    # the XLA engine). Chunks land on the identity lane map (no
+    # Sphere AND mixed scenes route through the bounce megakernel like
+    # render() (round 4 — a checkpointed 7-spheres render used to pay
+    # ~9x for the XLA engine, mesh scenes ran flash without even
+    # tile-coherent lanes). Chunks land on the identity lane map (no
     # balanced base: the chunk accumulator would have to unpermute
     # every save; checkpointed renders already amortize their device
     # time over chunk_spp) and streams stay keyed by absolute sample
     # index, so resume remains bit-identical.
     use_pallas = pallas_wanted(params, scene, n)
+    mesh_pallas = mesh_pallas_wanted(params, scene, n)
+    if mesh_pallas:
+        from zraytrace_tpu.geometry.bvh import build_tri_bvh
+        from zraytrace_tpu.ops.flash_intersect import pack_tri_planes
+
+        from zraytrace_tpu.scene import mesh_materials_const
+
+        order = build_tri_bvh(scene.tri_a, scene.tri_b,
+                              scene.tri_c).prim_order
+        tri_flash = pack_tri_planes(
+            scene.tri_a, scene.tri_b, scene.tri_c, order=order,
+            tri_mat=scene.tri_mat,
+            const_materials=mesh_materials_const(scene))
+        mesh_pallas = tri_flash.attrs is not None
+        use_pallas = use_pallas or mesh_pallas
     if use_pallas:
         pl_cap = params.pallas_max_wavefront // 256 * 256
         if pl_cap >= 256 and n_lanes > pl_cap:
@@ -274,6 +291,7 @@ def render_checkpointed(
                 sample_groups=max(
                     1, min(params.pallas_sample_groups, step)),
                 mat_classes=material_classes(scene),
+                tri_flash=tri_flash if mesh_pallas else None,
             )
         else:
             sums, cnts = _wavefront_jit(
