@@ -193,3 +193,45 @@ def test_checkpointed_mesh_megakernel_resume(tmp_path):
 
     img_r, st_r = render(scene, camera, params)
     assert st_r.rays == st_full.rays
+
+
+def test_sharded_checkpointed_resume_bitexact(tmp_path):
+    """Distributed checkpoint/restart (SURVEY §5): chunked
+    render_sharded over a ('data','sample') mesh resumes bit-identically
+    and matches the unchunked sharded render's counters (streams keyed
+    by absolute sample index)."""
+    import jax
+
+    from zraytrace_tpu.checkpoint import render_sharded_checkpointed
+    from zraytrace_tpu.parallel.mesh import make_mesh, render_sharded
+    from zraytrace_tpu.scenes import three_balls
+
+    built = three_balls()
+    mesh = make_mesh(n_data=2, n_sample=2, devices=jax.devices()[:4])
+    params = RenderParams(width=16, height=16, samples_per_pixel=8,
+                          max_depth=3)
+    p1, p2 = tmp_path / "a.npz", tmp_path / "b.npz"
+    img_full, st_full = render_sharded_checkpointed(
+        built.scene, built.camera, params, mesh, p1, chunk_spp=4)
+
+    partial = RenderParams(width=16, height=16, samples_per_pixel=4,
+                           max_depth=3)
+    render_sharded_checkpointed(built.scene, built.camera, partial,
+                                mesh, p2, chunk_spp=4)
+    img_res, st_res = render_sharded_checkpointed(
+        built.scene, built.camera, params, mesh, p2, chunk_spp=4)
+    np.testing.assert_array_equal(img_full, img_res)
+    assert st_full.rays == st_res.rays
+
+    img_u, st_u = render_sharded(built.scene, built.camera, params, mesh)
+    assert st_u.rays == st_full.rays
+    assert st_u.samples == st_full.samples
+    np.testing.assert_allclose(img_u, img_full, rtol=2e-5, atol=2e-6)
+
+    # wrong mesh shape must be refused
+    import pytest
+
+    mesh2 = make_mesh(n_data=4, n_sample=1, devices=jax.devices()[:4])
+    with pytest.raises(ValueError, match="different scene"):
+        render_sharded_checkpointed(built.scene, built.camera, params,
+                                    mesh2, p2, chunk_spp=4)

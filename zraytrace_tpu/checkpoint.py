@@ -324,3 +324,101 @@ def render_checkpointed(
         wavefront_iterations=iters, render_seconds=elapsed,
     )
     return image, stats
+
+
+def render_sharded_checkpointed(
+    scene: Scene,
+    camera: cam.Camera,
+    params: RenderParams,
+    mesh,
+    path,
+    chunk_spp: int = 50,
+):
+    """Distributed render with periodic checkpointing (SURVEY §5: long
+    multi-host renders restart from tile checkpoints instead of
+    restarting from zero).
+
+    Chunks the global sample range through ``render_sharded`` (streams
+    are keyed by absolute sample index, so a resumed run is
+    bit-identical to an uninterrupted one at the same chunking and mesh
+    shape) and saves accumulated pixel sums + counters after every
+    chunk — the same atomic format ``render_checkpointed`` uses, with
+    the mesh shape folded into the fingerprint so a checkpoint cannot
+    silently resume on a different device topology. ``chunk_spp`` must
+    be a multiple of the mesh's sample-axis size. Returns
+    ``(image (H,W,3) f32, RenderStats)``.
+    """
+    import dataclasses
+    import time
+
+    n_sample = mesh.shape["sample"]
+    if chunk_spp % n_sample:
+        raise ValueError(
+            f"chunk_spp={chunk_spp} must be a multiple of the sample "
+            f"axis size {n_sample}")
+    if params.samples_per_pixel % n_sample:
+        raise ValueError(
+            f"spp={params.samples_per_pixel} must divide over sample "
+            f"axis {n_sample}")
+    w, h = params.width, params.height
+    n = w * h
+    fp = scene_fingerprint(
+        scene, camera,
+        extra=(chunk_spp, "sharded", tuple(mesh.devices.shape)))
+    ckpt = load_checkpoint(path)
+    if ckpt is not None:
+        if (ckpt.width, ckpt.height, ckpt.seed, ckpt.max_depth) != (
+            w, h, params.seed, params.max_depth,
+        ):
+            raise ValueError(f"checkpoint {path} does not match render config")
+        if ckpt.scene_hash and ckpt.scene_hash != fp:
+            raise ValueError(
+                f"checkpoint {path} was written for a different scene/"
+                "camera/mesh/chunking — refusing to blend sample sums")
+        pixel_sum = ckpt.pixel_sum.astype(np.float64)
+        counters = ckpt.counters.astype(np.uint64)
+        done = ckpt.samples_done
+    else:
+        pixel_sum = np.zeros((n, 3), np.float64)
+        counters = np.zeros((N_COUNTERS, 2), np.uint64)
+        done = 0
+
+    t0 = time.perf_counter()
+    while done < params.samples_per_pixel:
+        step = min(chunk_spp, params.samples_per_pixel - done)
+        sub = dataclasses.replace(params, samples_per_pixel=step)
+        from zraytrace_tpu.parallel.mesh import render_sharded
+
+        img, st = render_sharded(scene, camera, sub, mesh,
+                                 sample_start=done)
+        # render_sharded returns the chunk MEAN; re-weight to sums (the
+        # f32 divide/re-multiply is deterministic, so resume stays
+        # bit-identical)
+        pixel_sum += np.asarray(img, np.float64).reshape(n, 3) * step
+        for i, v in enumerate((st.rays, st.reflections,
+                               st.background_hits,
+                               st.recursion_depth_hits, st.samples,
+                               st.wavefront_iterations)):
+            counters[i, 0] += np.uint64(v >> 32)
+            counters[i, 1] += np.uint64(v & 0xFFFFFFFF)
+        done += step
+        save_checkpoint(
+            path,
+            RenderCheckpoint(
+                pixel_sum=pixel_sum, counters=counters, samples_done=done,
+                width=w, height=h, seed=params.seed,
+                max_depth=params.max_depth, scene_hash=fp,
+            ),
+        )
+    elapsed = time.perf_counter() - t0
+
+    image = (pixel_sum / params.samples_per_pixel).reshape(h, w, 3).astype(
+        np.float32
+    )
+    rays, refl, bg, rec, samples, iters = _counters_to_ints(counters)
+    stats = RenderStats(
+        rays=rays, reflections=refl, background_hits=bg,
+        recursion_depth_hits=rec, samples=samples, pixels=n,
+        wavefront_iterations=iters, render_seconds=elapsed,
+    )
+    return image, stats

@@ -145,7 +145,8 @@ def _sharded_wavefront(mesh: Mesh, n_slots: int, use_pallas: bool,
 
 
 def render_sharded(
-    scene: Scene, camera: cam.Camera, params: RenderParams, mesh: Mesh
+    scene: Scene, camera: cam.Camera, params: RenderParams, mesh: Mesh,
+    sample_start: int = 0,
 ):
     """Distributed forward render. Returns ``(image (H,W,3), RenderStats)``.
 
@@ -154,6 +155,11 @@ def render_sharded(
     ``render()`` picks: strided multi-pixel slots, flash-intersect /
     BVH triangle routing, optional Pallas megakernel — so per-chip
     throughput matches the single-chip engine.
+
+    ``sample_start`` offsets the global sample range (streams are keyed
+    by absolute sample index) — checkpoint.render_sharded_checkpointed
+    chunks long distributed renders with it; the offset rides in the
+    traced per-shard start array, so chunking costs no recompiles.
     """
     import time
 
@@ -230,7 +236,8 @@ def render_sharded(
         # pixel-validity check, so it keeps the raw arange — as does the
         # tile-coherent map (validity lives in the tile positions).
         ids[n_pixels:] = n_pixels
-    sample_starts = jnp.arange(n_sample, dtype=jnp.int32) * spp_local
+    sample_starts = (jnp.int32(sample_start)
+                     + jnp.arange(n_sample, dtype=jnp.int32) * spp_local)
 
     scene_r = replicate(scene, mesh)
     camera_r = replicate(camera, mesh)
