@@ -22,6 +22,29 @@ import numpy as np
 import pytest
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Release compiled executables between test modules.
+
+    The full suite compiles hundreds of CPU programs in one process
+    (interpret-mode Pallas kernels are large); past a cumulative
+    threshold the XLA CPU JIT segfaults inside backend_compile_and_load
+    (observed deterministically at the same late-suite compile once the
+    round-4 tests pushed the count over the line — the same tests pass
+    in any smaller grouping). Dropping the jit caches per module keeps
+    the resident compiled-code footprint bounded; cross-module program
+    reuse is minimal (each file renders its own shapes), so the
+    recompile cost is small.
+    """
+    yield
+    jax.clear_caches()
+    # the cached sharded closures hold their own jit objects — empty
+    # the closure cache too so their executables can be released
+    from zraytrace_tpu.parallel import mesh as _mesh
+
+    _mesh._sharded_wavefront.cache_clear()
+
+
 @pytest.fixture(scope="session")
 def three_balls_scene():
     from zraytrace_tpu.scenes import three_balls
