@@ -39,10 +39,13 @@ def _clear_jax_caches_per_module():
     yield
     jax.clear_caches()
     # the cached sharded closures hold their own jit objects — empty
-    # the closure cache too so their executables can be released
+    # the closure cache too so their executables can be released, and
+    # the flash-plane memo so modules don't see each other's packs
+    from zraytrace_tpu import render as _render
     from zraytrace_tpu.parallel import mesh as _mesh
 
     _mesh._sharded_wavefront.cache_clear()
+    _render._FLASH_MEMO.clear()
 
 
 @pytest.fixture(scope="session")

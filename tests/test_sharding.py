@@ -185,6 +185,12 @@ def test_sharded_mesh_fallback_receives_tuned_knobs(monkeypatch):
 
     packed = {}
     import zraytrace_tpu.ops.flash_intersect as fi
+    import zraytrace_tpu.render as zr
+
+    # the flash-routing gate lives in render.mesh_routing since the
+    # round-4 dedup — shim ITS backend check too (the scene is mixed,
+    # so pallas_wanted stays False regardless of the shim)
+    monkeypatch.setattr(zr, "jax", _JaxShim(jax))
 
     real_pack = fi.pack_tri_planes
 
@@ -193,6 +199,10 @@ def test_sharded_mesh_fallback_receives_tuned_knobs(monkeypatch):
         return real_pack(*a, **kw)
 
     monkeypatch.setattr(fi, "pack_tri_planes", spy_pack)
+    # flash planes are content-memoized (render.flash_pack_cached); an
+    # earlier test of the same scene would satisfy the pack from the
+    # memo and the spy would see nothing
+    zr._FLASH_MEMO.clear()
 
     traced = {}
     real_trace = pm.wavefront_trace

@@ -176,6 +176,56 @@ def jnp_like(arr, like):
     return out
 
 
+def _restore_or_init(path, fp: str, params: RenderParams, n: int):
+    """Shared checkpoint restore/validation for the chunked render
+    wrappers: returns ``(pixel_sum f64, counters u64 limbs, done)``."""
+    ckpt = load_checkpoint(path)
+    if ckpt is not None:
+        if (ckpt.width, ckpt.height, ckpt.seed, ckpt.max_depth) != (
+            params.width, params.height, params.seed, params.max_depth,
+        ):
+            raise ValueError(
+                f"checkpoint {path} does not match render config")
+        if ckpt.scene_hash and ckpt.scene_hash != fp:
+            raise ValueError(
+                f"checkpoint {path} was written for a different scene/"
+                "camera/engine/chunking — refusing to blend sample sums"
+            )
+        return (ckpt.pixel_sum.astype(np.float64),
+                ckpt.counters.astype(np.uint64), ckpt.samples_done)
+    return (np.zeros((n, 3), np.float64),
+            np.zeros((N_COUNTERS, 2), np.uint64), 0)
+
+
+def _chunk_step(total: int, done: int, chunk: int, min_tail: int) -> int:
+    """Next chunk size: plain ``min(chunk, remaining)``.
+
+    NOTE a final tail smaller than ``min_tail`` (the sample-group
+    count) changes the static ``sample_groups`` argument and compiles
+    one extra program (minutes through the TPU relay) — prefer a
+    ``chunk_spp`` that divides spp, or whose remainder is >= the group
+    count. Folding the tail into the previous chunk was tried and
+    REVERTED: it made the chunk plan depend on the total spp, so a
+    partial run + resume chunked differently from an uninterrupted run
+    and broke the bit-identical-resume contract (caught by
+    test_checkpoint round 4)."""
+    del min_tail  # kept in the signature for the docstring's contract
+    return min(chunk, total - done)
+
+
+def _final_stats(pixel_sum, counters, params: RenderParams, n: int,
+                 elapsed: float):
+    """Shared image + RenderStats assembly for the chunked wrappers."""
+    image = (pixel_sum / params.samples_per_pixel).reshape(
+        params.height, params.width, 3).astype(np.float32)
+    rays, refl, bg, rec, samples, iters = _counters_to_ints(counters)
+    return image, RenderStats(
+        rays=rays, reflections=refl, background_hits=bg,
+        recursion_depth_hits=rec, samples=samples, pixels=n,
+        wavefront_iterations=iters, render_seconds=elapsed,
+    )
+
+
 def render_checkpointed(
     scene: Scene,
     camera: cam.Camera,
@@ -199,8 +249,7 @@ def render_checkpointed(
     import jax.numpy as jnp
 
     from zraytrace_tpu.render import (
-        _wavefront_jit, maybe_build_bvh, mesh_pallas_wanted, pallas_r_blk,
-        pallas_wanted,
+        _wavefront_jit, mesh_routing, pallas_r_blk, pallas_wanted,
     )
 
     w, h = params.width, params.height
@@ -209,74 +258,44 @@ def render_checkpointed(
     # several strided pixels per lane; pixel ids stay global so RNG
     # streams (and therefore resumed results) are layout-invariant.
     n_lanes = min(n, params.max_wavefront)
-    tri_bvh = maybe_build_bvh(scene, params)
-    tri_flash = None
     # Sphere AND mixed scenes route through the bounce megakernel like
-    # render() (round 4 — a checkpointed 7-spheres render used to pay
-    # ~9x for the XLA engine, mesh scenes ran flash without even
-    # tile-coherent lanes). Chunks land on the identity lane map (no
-    # balanced base: the chunk accumulator would have to unpermute
-    # every save; checkpointed renders already amortize their device
-    # time over chunk_spp) and streams stay keyed by absolute sample
-    # index, so resume remains bit-identical.
-    use_pallas = pallas_wanted(params, scene, n)
-    mesh_pallas = mesh_pallas_wanted(params, scene, n)
-    if mesh_pallas:
-        from zraytrace_tpu.geometry.bvh import build_tri_bvh
-        from zraytrace_tpu.ops.flash_intersect import pack_tri_planes
-
-        from zraytrace_tpu.scene import mesh_materials_const
-
-        order = build_tri_bvh(scene.tri_a, scene.tri_b,
-                              scene.tri_c).prim_order
-        tri_flash = pack_tri_planes(
-            scene.tri_a, scene.tri_b, scene.tri_c, order=order,
-            tri_mat=scene.tri_mat,
-            const_materials=mesh_materials_const(scene))
-        mesh_pallas = tri_flash.attrs is not None
-        use_pallas = use_pallas or mesh_pallas
+    # render() — same shared mesh_routing helper, so the entry points
+    # cannot pick different engines for the same params (round 4: a
+    # checkpointed 7-spheres render used to pay ~9x for the XLA
+    # engine). Chunks land on the identity lane map (no balanced base:
+    # the chunk accumulator would have to unpermute every save;
+    # checkpointed renders already amortize their device time over
+    # chunk_spp) and streams stay keyed by absolute sample index, so
+    # resume remains bit-identical.
+    tri_bvh, tri_flash, mesh_pallas = mesh_routing(params, scene, n)
+    use_pallas = pallas_wanted(params, scene, n) or mesh_pallas
     if use_pallas:
         pl_cap = params.pallas_max_wavefront // 256 * 256
         if pl_cap >= 256 and n_lanes > pl_cap:
             n_lanes = pl_cap
         n_lanes = -(-n_lanes // 256) * 256
-    elif (tri_bvh is None and scene.n_triangles > 0
-            and jax.default_backend() == "tpu"):
-        from zraytrace_tpu.ops.flash_intersect import pack_tri_planes
-
-        from zraytrace_tpu.scene import mesh_materials_const
-
-        tri_flash = pack_tri_planes(
-            scene.tri_a, scene.tri_b, scene.tri_c,
-            tri_mat=scene.tri_mat,
-            const_materials=mesh_materials_const(scene))
+    elif tri_flash is not None:
         n_lanes = -(-n_lanes // 512) * 512
     n_slots = math.ceil(n / n_lanes)
 
-    fp = scene_fingerprint(scene, camera, extra=(chunk_spp,))
-    ckpt = load_checkpoint(path)
-    if ckpt is not None:
-        if (ckpt.width, ckpt.height, ckpt.seed, ckpt.max_depth) != (
-            w, h, params.seed, params.max_depth,
-        ):
-            raise ValueError(f"checkpoint {path} does not match render config")
-        if ckpt.scene_hash and ckpt.scene_hash != fp:
-            raise ValueError(
-                f"checkpoint {path} was written for a different scene/"
-                "camera/chunking — refusing to blend sample sums"
-            )
-        pixel_sum = ckpt.pixel_sum.astype(np.float64)
-        counters = ckpt.counters.astype(np.uint64)
-        done = ckpt.samples_done
-    else:
-        pixel_sum = np.zeros((n, 3), np.float64)
-        counters = np.zeros((N_COUNTERS, 2), np.uint64)
-        done = 0
+    # the fingerprint covers everything that shapes the accumulated
+    # sums: scene, camera, chunking, AND the resolved engine + layout
+    # (a resume that silently switched engines — e.g. TPU megakernel
+    # run resumed with --cpu — would blend float orders and ~1e-5-class
+    # event divergences from two engines into one image)
+    fp = scene_fingerprint(
+        scene, camera,
+        extra=(chunk_spp, use_pallas, mesh_pallas, tri_bvh is not None,
+               n_lanes, n_slots, params.pallas_bounces,
+               params.pallas_r_blk, params.pallas_sample_groups))
+    pixel_sum, counters, done = _restore_or_init(path, fp, params, n)
 
     ids = jnp.arange(n_lanes, dtype=jnp.int32)
     t0 = time.perf_counter()
     while done < params.samples_per_pixel:
-        step = min(chunk_spp, params.samples_per_pixel - done)
+        step = _chunk_step(params.samples_per_pixel, done, chunk_spp,
+                           params.pallas_sample_groups if use_pallas
+                           else 1)
         if use_pallas:
             from zraytrace_tpu.ops.bounce_kernel3 import (
                 _wavefront_pallas3_jit,
@@ -313,17 +332,7 @@ def render_checkpointed(
             ),
         )
     elapsed = time.perf_counter() - t0
-
-    image = (pixel_sum / params.samples_per_pixel).reshape(h, w, 3).astype(
-        np.float32
-    )
-    rays, refl, bg, rec, samples, iters = _counters_to_ints(counters)
-    stats = RenderStats(
-        rays=rays, reflections=refl, background_hits=bg,
-        recursion_depth_hits=rec, samples=samples, pixels=n,
-        wavefront_iterations=iters, render_seconds=elapsed,
-    )
-    return image, stats
+    return _final_stats(pixel_sum, counters, params, n, elapsed)
 
 
 def render_sharded_checkpointed(
@@ -362,30 +371,28 @@ def render_sharded_checkpointed(
             f"axis {n_sample}")
     w, h = params.width, params.height
     n = w * h
+    # engine knobs in the fingerprint for the same reason as
+    # render_checkpointed: a resume must not silently blend chunks from
+    # a different engine, backend, or mesh topology
+    import jax
+
     fp = scene_fingerprint(
         scene, camera,
-        extra=(chunk_spp, "sharded", tuple(mesh.devices.shape)))
-    ckpt = load_checkpoint(path)
-    if ckpt is not None:
-        if (ckpt.width, ckpt.height, ckpt.seed, ckpt.max_depth) != (
-            w, h, params.seed, params.max_depth,
-        ):
-            raise ValueError(f"checkpoint {path} does not match render config")
-        if ckpt.scene_hash and ckpt.scene_hash != fp:
-            raise ValueError(
-                f"checkpoint {path} was written for a different scene/"
-                "camera/mesh/chunking — refusing to blend sample sums")
-        pixel_sum = ckpt.pixel_sum.astype(np.float64)
-        counters = ckpt.counters.astype(np.uint64)
-        done = ckpt.samples_done
-    else:
-        pixel_sum = np.zeros((n, 3), np.float64)
-        counters = np.zeros((N_COUNTERS, 2), np.uint64)
-        done = 0
+        extra=(chunk_spp, "sharded", tuple(mesh.devices.shape),
+               jax.default_backend(), params.use_pallas,
+               params.pallas_mesh, params.pallas_bounces,
+               params.pallas_r_blk, params.pallas_sample_groups,
+               params.pallas_max_wavefront,
+               params.wavefront_sample_groups, params.bvh))
+    pixel_sum, counters, done = _restore_or_init(path, fp, params, n)
 
+    # flash planes are content-memoized (render.flash_pack_cached), so
+    # the per-chunk render_sharded calls below do NOT redo the
+    # binned-SAH build — only the cheap hash
     t0 = time.perf_counter()
     while done < params.samples_per_pixel:
-        step = min(chunk_spp, params.samples_per_pixel - done)
+        step = _chunk_step(params.samples_per_pixel, done, chunk_spp,
+                           n_sample * params.pallas_sample_groups)
         sub = dataclasses.replace(params, samples_per_pixel=step)
         from zraytrace_tpu.parallel.mesh import render_sharded
 
@@ -411,14 +418,4 @@ def render_sharded_checkpointed(
             ),
         )
     elapsed = time.perf_counter() - t0
-
-    image = (pixel_sum / params.samples_per_pixel).reshape(h, w, 3).astype(
-        np.float32
-    )
-    rays, refl, bg, rec, samples, iters = _counters_to_ints(counters)
-    stats = RenderStats(
-        rays=rays, reflections=refl, background_hits=bg,
-        recursion_depth_hits=rec, samples=samples, pixels=n,
-        wavefront_iterations=iters, render_seconds=elapsed,
-    )
-    return image, stats
+    return _final_stats(pixel_sum, counters, params, n, elapsed)

@@ -210,11 +210,19 @@ def fit(
             load_fit_checkpoint, save_fit_checkpoint, scene_fingerprint,
         )
 
+        # edge_eps is always part of the fingerprint (a resume with a
+        # different bandwidth would silently blend two estimators);
+        # steps joins it ONLY when the coarse-to-fine schedule is
+        # active, because eps_scale_at divides by 0.6*steps — plain
+        # fits keep the resume-and-extend pattern (run steps=2, resume
+        # steps=4) that the schedule makes ill-defined
+        sched_on = coarse_to_fine != 1.0 and edge_eps is not None
         fp = scene_fingerprint(
             static, camera,
             extra=(width, height, spp, max_depth, seed, learning_rate,
                    tuple(sorted(optimize_fields)), tuple(sorted(fd_fields)),
-                   float(coarse_to_fine)),
+                   float(coarse_to_fine), repr(edge_eps),
+                   int(steps) if sched_on else -1),
         )
         resumed = load_fit_checkpoint(checkpoint_path, params, opt_state, fp)
         if resumed is not None:
@@ -231,9 +239,11 @@ def fit(
         sc = eps_scale_at(i)
         loss, grads = vg_jit(params) if sc is None else vg_jit(params, sc)
         if fd_fields:
-            lf = loss_jit if sc is None else (
-                lambda p, _s=sc: loss_jit(p, _s))
-            grads = {**grads, **fd_gradients(lf, params, fd_fields)}
+            # FD sees the UNSCALED loss program: the loss VALUE is
+            # bit-exactly independent of the edge bandwidth (edge
+            # factors are exactly 1.0 forward), so threading eps_scale
+            # through would only compile a second identical forward
+            grads = {**grads, **fd_gradients(loss_jit, params, fd_fields)}
         params, opt_state = apply(params, opt_state, grads)
         losses.append(loss)
         if checkpoint_path and ((i + 1) % checkpoint_every == 0

@@ -163,8 +163,6 @@ def render_sharded(
     """
     import time
 
-    from zraytrace_tpu.render import maybe_build_bvh
-
     n_data = mesh.shape[DATA_AXIS]
     n_sample = mesh.shape[SAMPLE_AXIS]
     w, h, spp = params.width, params.height, params.samples_per_pixel
@@ -175,35 +173,18 @@ def render_sharded(
 
     t0 = time.perf_counter()
     from zraytrace_tpu.render import (
-        TILE_H, TILE_W, mesh_pallas_wanted, pallas_wanted,
+        TILE_H, TILE_W, mesh_routing, pallas_wanted,
     )
 
-    tri_bvh = maybe_build_bvh(scene, params)
     # Mesh routing mirrors render() exactly (the sharded path once
     # dropped the BVH chunk order and tile-coherent knobs — the exact
     # regressions measured at 2-8x in PERF.md; VERDICT round 2 item 3):
     # BVH-leaf-ordered chunk packing + const-material attrs, deferred
     # -mesh-hit megakernel on TPU (mesh_pallas_wanted), else the
     # tile-coherent XLA wavefront with sample interleave.
-    tri_flash = None
-    tile_coherent = False
-    mesh_pallas = mesh_pallas_wanted(params, scene, n_pixels)
-    if (tri_bvh is None and scene.n_triangles > 0
-            and (jax.default_backend() == "tpu" or mesh_pallas)):
-        from zraytrace_tpu.geometry.bvh import build_tri_bvh
-        from zraytrace_tpu.ops.flash_intersect import pack_tri_planes
-        from zraytrace_tpu.scene import mesh_materials_const
-
-        order = build_tri_bvh(scene.tri_a, scene.tri_b,
-                              scene.tri_c).prim_order
-        tri_flash = pack_tri_planes(
-            scene.tri_a, scene.tri_b, scene.tri_c, order=order,
-            tri_mat=scene.tri_mat,
-            const_materials=mesh_materials_const(scene))
-        if not mesh_pallas:
-            tile_coherent = True
-    mesh_pallas = mesh_pallas and tri_flash is not None \
-        and tri_flash.attrs is not None
+    tri_bvh, tri_flash, mesh_pallas = mesh_routing(params, scene,
+                                                   n_pixels)
+    tile_coherent = tri_flash is not None and not mesh_pallas
 
     use_pallas = pallas_wanted(params, scene, n_pixels) or mesh_pallas
 

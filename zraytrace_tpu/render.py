@@ -536,6 +536,63 @@ def pallas_wanted(params: RenderParams, scene: Scene, n_pixels: int) -> bool:
             and n_pixels < (1 << 22))
 
 
+_FLASH_MEMO: dict = {}
+
+
+def flash_pack_cached(scene: Scene):
+    """BVH-leaf-ordered flash planes for a scene's mesh, memoized by
+    CONTENT hash (a few ms for 158k triangles, vs tens of seconds for
+    the binned-SAH build it skips). Shared by render(),
+    render_sharded (whose checkpointed chunk loop calls it per chunk)
+    and render_checkpointed so the three entry points can never pack
+    differently again."""
+    import hashlib
+
+    from zraytrace_tpu.geometry.bvh import build_tri_bvh
+    from zraytrace_tpu.ops.flash_intersect import pack_tri_planes
+
+    from zraytrace_tpu.scene import mesh_materials_const
+
+    const = mesh_materials_const(scene)
+    h = hashlib.sha256()
+    for a in (scene.tri_a, scene.tri_b, scene.tri_c, scene.tri_mat):
+        h.update(np.ascontiguousarray(np.asarray(a)).tobytes())
+    h.update(b"c" if const else b"n")
+    key = h.hexdigest()
+    hit = _FLASH_MEMO.get(key)
+    if hit is not None:
+        return hit
+    order = build_tri_bvh(scene.tri_a, scene.tri_b,
+                          scene.tri_c).prim_order
+    planes = pack_tri_planes(scene.tri_a, scene.tri_b, scene.tri_c,
+                             order=order, tri_mat=scene.tri_mat,
+                             const_materials=const)
+    while len(_FLASH_MEMO) >= 4:
+        _FLASH_MEMO.pop(next(iter(_FLASH_MEMO)))
+    _FLASH_MEMO[key] = planes
+    return planes
+
+
+def mesh_routing(params: RenderParams, scene: Scene, n_pixels: int):
+    """Resolve the shared mesh fast-path routing: returns
+    ``(tri_bvh, tri_flash, mesh_pallas)``. ``tri_flash`` is packed
+    (flash_pack_cached) only when the BVH traversal is not selected and
+    a fast path wants it; ``mesh_pallas`` is the RESOLVED deferred-
+    mesh-hit megakernel decision (requires const-material attrs). One
+    definition for render(), render_sharded and render_checkpointed —
+    the per-entry-point copies had already drifted once (round-4
+    review: the checkpoint copy dropped the tri_bvh gate)."""
+    tri_bvh = maybe_build_bvh(scene, params)
+    mesh_pallas = mesh_pallas_wanted(params, scene, n_pixels)
+    tri_flash = None
+    if (tri_bvh is None and scene.n_triangles > 0
+            and (jax.default_backend() == "tpu" or mesh_pallas)):
+        tri_flash = flash_pack_cached(scene)
+    mesh_pallas = (mesh_pallas and tri_flash is not None
+                   and tri_flash.attrs is not None)
+    return tri_bvh, tri_flash, mesh_pallas
+
+
 def mesh_pallas_wanted(params: RenderParams, scene: Scene,
                        n_pixels: int) -> bool:
     """Resolve the ``pallas_mesh`` policy (config.py): route a MIXED
@@ -681,41 +738,25 @@ def render(scene: Scene, camera: cam.Camera, params: RenderParams):
     n_lanes = min(n_pixels, params.max_wavefront)
     n_slots = math.ceil(n_pixels / n_lanes)
 
-    tri_bvh = maybe_build_bvh(scene, params)
     # Flash-intersect kernel: streaming VMEM triangle intersection
     # (ops/flash_intersect.py) — the fast mesh path on real TPUs; the
     # interpreter-mode kernel is slow, so CPU uses the XLA brute path.
     # Triangles are sorted into BVH-leaf order so the kernel's chunk
     # AABBs are spatially tight, and lanes map to 64x8 pixel tiles so
     # ray blocks are coherent enough for chunk culling to bite.
-    tri_flash = None
+    tri_bvh, tri_flash, mesh_pallas = mesh_routing(params, scene,
+                                                  n_pixels)
     tile_coherent = False
-    mesh_pallas = mesh_pallas_wanted(params, scene, n_pixels)
-    if (tri_bvh is None and scene.n_triangles > 0
-            and (jax.default_backend() == "tpu" or mesh_pallas)):
-        from zraytrace_tpu.geometry.bvh import build_tri_bvh
-        from zraytrace_tpu.ops.flash_intersect import pack_tri_planes
-
-        from zraytrace_tpu.scene import mesh_materials_const
-
-        order = build_tri_bvh(scene.tri_a, scene.tri_b,
-                              scene.tri_c).prim_order
-        tri_flash = pack_tri_planes(
-            scene.tri_a, scene.tri_b, scene.tri_c, order=order,
-            tri_mat=scene.tri_mat,
-            const_materials=mesh_materials_const(scene))
-        if not mesh_pallas:
-            # XLA wavefront path: tile-coherent lanes so the flash
-            # kernel's per-block chunk culling bites. The megakernel
-            # path keeps the contiguous mapping (its rotated-base
-            # interleave needs it; blocked-lane bounce rays are
-            # incoherent anyway).
-            tile_coherent = True
-            padded = (-(-w // TILE_W)) * (-(-h // TILE_H)) * 512
-            n_lanes = min(padded, -(-n_lanes // 512) * 512)
-            n_slots = math.ceil(padded / n_lanes)
-    mesh_pallas = mesh_pallas and tri_flash is not None \
-        and tri_flash.attrs is not None
+    if tri_flash is not None and not mesh_pallas:
+        # XLA wavefront path: tile-coherent lanes so the flash
+        # kernel's per-block chunk culling bites. The megakernel
+        # path keeps the contiguous mapping (its rotated-base
+        # interleave needs it; blocked-lane bounce rays are
+        # incoherent anyway).
+        tile_coherent = True
+        padded = (-(-w // TILE_W)) * (-(-h // TILE_H)) * 512
+        n_lanes = min(padded, -(-n_lanes // 512) * 512)
+        n_slots = math.ceil(padded / n_lanes)
 
     stats = RenderStats(pixels=n_pixels)
     want_pallas = pallas_wanted(params, scene, n_pixels) or mesh_pallas
