@@ -184,9 +184,20 @@ def main() -> int:
         _ = float(jnp.sum(counters[0]).astype(jnp.float32))
         return sums, counters
 
-    # Warm-up compiles the single program all spp values share.
+    # Warm-up compiles the single program all spp values share — then
+    # one UNTIMED full-scale pass: through the relay the first big
+    # execution after a compile/eviction or device-idle period costs
+    # 2-4x steady state (round 4 measured a single official run at
+    # 366M vs the 753-760M repeats), and the driver runs this script
+    # exactly once. Streams are keyed by absolute sample index, so the
+    # discarded pass changes nothing.
     t0 = time.time()
     run(1)
+    first_chunk = min(
+        int(os.environ.get(
+            "ZRAYTRACE_BENCH_CHUNK_SPP", "25" if scene_idx == 3 else "0"))
+        or spp, spp)
+    run(first_chunk, sample_start=1)
     compile_s = time.time() - t0
     n_launches[0] = 0
 
