@@ -235,3 +235,23 @@ def test_sharded_checkpointed_resume_bitexact(tmp_path):
     with pytest.raises(ValueError, match="different scene"):
         render_sharded_checkpointed(built.scene, built.camera, params,
                                     mesh2, p2, chunk_spp=4)
+
+
+def test_checkpoint_rejects_engine_switch(tmp_path):
+    """The fingerprint covers the RESOLVED engine: a checkpoint written
+    by the megakernel must refuse to resume on the XLA engine (their
+    float orders and borderline-comparison events differ — blending
+    them would corrupt the accumulation silently; round-4 review)."""
+    from zraytrace_tpu.scenes import three_balls
+
+    built = three_balls()
+    p = tmp_path / "ck.npz"
+    render_checkpointed(
+        built.scene, built.camera,
+        RenderParams(width=16, height=16, samples_per_pixel=2,
+                     max_depth=3, use_pallas=True), p, chunk_spp=2)
+    with pytest.raises(ValueError, match="different scene"):
+        render_checkpointed(
+            built.scene, built.camera,
+            RenderParams(width=16, height=16, samples_per_pixel=4,
+                         max_depth=3, use_pallas=False), p, chunk_spp=2)
