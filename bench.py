@@ -208,20 +208,35 @@ def main() -> int:
         "ZRAYTRACE_BENCH_CHUNK_SPP", "25" if scene_idx == 3 else "0")) or spp
     import numpy as _np
 
-    totals = _np.zeros((6, 2), _np.uint64)
-    t0 = time.time()
-    done = 1  # skip the warm-up sample index for stream freshness
-    while done < 1 + spp:
-        step = min(chunk, 1 + spp - done)
-        sums, counters = run(step, sample_start=done)
-        totals += _np.asarray(counters, _np.uint64)
-        done += step
-    elapsed = time.time() - t0
-    counters = totals
+    # Median of >= 3 timed full-scale passes (round-4 verdict item 7):
+    # identical configs spread ~+-2% run to run through the relay, so a
+    # single pass under-reports the repeatable engine rate by ~1%.
+    # Every pass runs the identical sample range / program, so the
+    # counters of the first pass are the official ones.
+    repeats = max(1, int(os.environ.get("ZRAYTRACE_BENCH_REPEATS", "3")))
+    pass_rates = []
+    for rep in range(repeats):
+        totals = _np.zeros((6, 2), _np.uint64)
+        t0 = time.time()
+        done = 1  # skip the warm-up sample index for stream freshness
+        while done < 1 + spp:
+            step = min(chunk, 1 + spp - done)
+            sums, counters = run(step, sample_start=done)
+            totals += _np.asarray(counters, _np.uint64)
+            done += step
+        pass_elapsed = time.time() - t0
+        if rep == 0:
+            elapsed, counters = pass_elapsed, totals
+        pass_rays = int(_counters_to_ints(_np.asarray(totals))[C_RAYS])
+        pass_rates.append(pass_rays / pass_elapsed)
+        print(f"# pass {rep}: {pass_elapsed:.3f}s "
+              f"{pass_rates[-1] / 1e6:.1f}M rays/s", file=sys.stderr)
 
     ints = _counters_to_ints(__import__("numpy").asarray(counters))
     rays, iters = ints[C_RAYS], ints[C_ITERS]
-    rays_per_sec = rays / elapsed
+    rays_per_sec = float(_np.median(pass_rates))
+    spread_pct = (100.0 * (max(pass_rates) - min(pass_rates))
+                  / rays_per_sec if len(pass_rates) > 1 else 0.0)
 
     if len(n_launches) > 1:
         import numpy as _npd
@@ -240,6 +255,7 @@ def main() -> int:
         f"launches={n_launches[0]} "
         f"lane_steps_per_ray={iters * n_lanes / max(rays, 1):.2f} "
         f"elapsed={elapsed:.3f}s compile+warm={compile_s:.1f}s "
+        f"passes={len(pass_rates)} spread={spread_pct:.1f}% "
         f"device={jax.devices()[0].device_kind}",
         file=sys.stderr,
     )
@@ -256,6 +272,8 @@ def main() -> int:
                 "value": rays_per_sec,
                 "unit": "rays/s/chip",
                 "vs_baseline": rays_per_sec / baseline,
+                "passes": len(pass_rates),
+                "spread_pct": round(spread_pct, 2),
             }
         )
     )

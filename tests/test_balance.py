@@ -150,7 +150,7 @@ def test_packed_record_slot_guard():
 
     built = three_balls()
     n_pix = 5000 * 4096  # 20.5M pixels at 256 lanes -> 80000 slots
-    with pytest.raises(AssertionError, match="16-bit packed"):
+    with pytest.raises(ValueError, match="16-bit packed"):
         wavefront_trace_pallas3(
             built.scene, built.camera, jnp.arange(256, dtype=jnp.int32),
             42, 4096, 5000, 1, 3, 0, 80000, 256, n_pix, n_bounce=4,

@@ -112,8 +112,17 @@ CLASSES = {
 }
 
 
+PASS_THRESHOLD = 0.10  # stated bar: per-class mean_rel_error <= 10%
+
+
 def compute_report(width=64, height=64, spp=128, seed=42, verbose=True,
-                   classes=None):
+                   classes=None, n_seeds=5):
+    """Round-5 (verdict item 5): every class is measured over
+    ``n_seeds`` independent PCG4D stream sets (seed is a TRACED
+    argument, so extra seeds cost no recompiles). Per class the report
+    carries mean ± spread of the per-seed max relative error — the
+    spread is MC variance of the estimator pair, the mean-minus-spread
+    is the bias floor. Pass bar: mean_rel_error <= PASS_THRESHOLD."""
     import jax
     import jax.numpy as jnp
 
@@ -121,9 +130,12 @@ def compute_report(width=64, height=64, spp=128, seed=42, verbose=True,
     from zraytrace_tpu.inverse import image_loss, merge_scene, split_scene
     from zraytrace_tpu.render_diff import render_diff
 
+    seeds = [seed + 101 * i for i in range(n_seeds)]
     report = {"config": dict(width=width, height=height, spp=spp,
-                             seed=seed, edge_aware=True),
+                             seeds=seeds, edge_aware=True,
+                             pass_threshold=PASS_THRESHOLD),
               "classes": {}}
+    acc = {}
 
     def entry(name, g_vals, fd_vals):
         g = np.asarray(g_vals, np.float64)
@@ -133,13 +145,24 @@ def compute_report(width=64, height=64, spp=128, seed=42, verbose=True,
         # relative error
         scale = max(np.abs(fd).max(), 1e-9)
         rel = np.abs(g - fd) / np.maximum(np.abs(fd), 0.2 * scale)
+        acc.setdefault(name, []).append(
+            dict(rel=float(rel.max()), grad=[float(x) for x in g],
+                 fd=[float(x) for x in fd]))
+
+    def finalize(name):
+        rels = np.asarray([s["rel"] for s in acc[name]])
         report["classes"][name] = dict(
-            max_rel_error=float(rel.max()),
-            grad=[float(x) for x in g], fd=[float(x) for x in fd],
+            max_rel_error=float(rels.mean()),  # headline = seed mean
+            rel_error_per_seed=[round(float(r), 6) for r in rels],
+            rel_error_spread=float(rels.std()),
+            rel_error_worst_seed=float(rels.max()),
+            passes=bool(rels.mean() <= PASS_THRESHOLD),
+            grad=acc[name][0]["grad"], fd=acc[name][0]["fd"],
         )
         if verbose:
-            print(f"  {name:16s} max_rel_error={rel.max():.4f} "
-                  f"(|fd| scale {scale:.3e})", file=sys.stderr)
+            print(f"  {name:16s} rel_error mean={rels.mean():.4f} "
+                  f"+- {rels.std():.4f} (worst seed {rels.max():.4f}, "
+                  f"{len(rels)} seeds)", file=sys.stderr)
 
     for name, (build, field, idxs, eps, fd_steps, (sppf, depth)) in \
             CLASSES.items():
@@ -158,58 +181,73 @@ def compute_report(width=64, height=64, spp=128, seed=42, verbose=True,
         # (render_diff running mean), so no per-class toggle is needed
 
         def make_loss(e):
-            def loss(p, lfv):
+            def loss(p, lfv, seed_):
                 cam = make_camera(lfv, (0, 0, 1.0), (0, 1.0, 0),
                                   45.0, 1.0)
                 img = render_diff(merge_scene(p, static), cam, width,
-                                  height, cspp, depth, seed=seed,
+                                  height, cspp, depth, seed=seed_,
                                   edge_eps=e)
                 return image_loss(img, target)
             return loss
 
         loss_plain = jax.jit(make_loss(None))
         if field is None:  # camera pose
-            g_all = np.asarray(
-                jax.jit(jax.grad(make_loss(eps), argnums=1))(params, lf))
+            grad_fn = jax.jit(jax.grad(make_loss(eps), argnums=1))
             perturb = lambda idx, h: (params, lf.at[idx].add(h))
         else:
-            g_all = jax.jit(jax.grad(make_loss(eps)))(params, lf)[field]
+            grad_fn = jax.jit(jax.grad(make_loss(eps)))
 
             def perturb(idx, h, _f=field):
                 p2 = dict(params)
                 p2[_f] = params[_f].at[idx].add(h)
                 return p2, lf
 
-        g_vals, fd_vals = [], []
-        for idx in idxs:
-            ix = idx[0] if field is None else idx
-            g_vals.append(float(g_all[ix]))
-            fds = []
-            for h in fd_steps:
-                vp = float(loss_plain(*perturb(ix, +h)))
-                vm = float(loss_plain(*perturb(ix, -h)))
-                fds.append((vp - vm) / (2 * h))
-            fd_vals.append(float(np.mean(fds)))
+        for sd in seeds:
+            sd_j = jnp.int32(sd)
+            g_out = grad_fn(params, lf, sd_j)
+            g_all = (np.asarray(g_out) if field is None
+                     else g_out[field])
+            g_vals, fd_vals = [], []
+            for idx in idxs:
+                ix = idx[0] if field is None else idx
+                g_vals.append(float(g_all[ix]))
+                fds = []
+                for h in fd_steps:
+                    vp = float(loss_plain(*perturb(ix, +h), sd_j))
+                    vm = float(loss_plain(*perturb(ix, -h), sd_j))
+                    fds.append((vp - vm) / (2 * h))
+                fd_vals.append(float(np.mean(fds)))
+            if name == "ior":
+                # shipped estimator = correlated-FD hybrid at an
+                # INDEPENDENT (smaller) step; the analytic number rides
+                # beside it (module docstring)
+                entry("ior_analytic", g_vals, fd_vals)
+                h_hy = 0.004
+                hy_vals = [
+                    (float(loss_plain(*perturb(idx, +h_hy), sd_j))
+                     - float(loss_plain(*perturb(idx, -h_hy), sd_j)))
+                    / (2 * h_hy)
+                    for idx in idxs
+                ]
+                entry(name, hy_vals, fd_vals)
+            else:
+                entry(name, g_vals, fd_vals)
+        finalize(name)
         if name == "ior":
-            # shipped estimator = correlated-FD hybrid at an
-            # INDEPENDENT (smaller) step; the analytic number rides
-            # beside it (module docstring)
-            entry("ior_analytic", g_vals, fd_vals)
-            h_hy = 0.004
-            hy_vals = [
-                (float(loss_plain(*perturb(idx, +h_hy)))
-                 - float(loss_plain(*perturb(idx, -h_hy)))) / (2 * h_hy)
-                for idx in idxs
-            ]
-            entry(name, hy_vals, fd_vals)
-        else:
-            entry(name, g_vals, fd_vals)
+            finalize("ior_analytic")
 
     # the overall metric covers the SHIPPED estimator per class;
     # ior_analytic is the informational research number (docstring)
     report["max_rel_error_overall"] = float(max(
         c["max_rel_error"] for k, c in report["classes"].items()
         if k != "ior_analytic"))
+    # surfaced at top level so readers of the overall number cannot
+    # mistake it for analytic-gradient parity (advisor round 4): the
+    # shipped `ior` class is a correlated-FD hybrid; this is the honest
+    # analytic dielectric residual (specular-boundary class, PERF.md).
+    if "ior_analytic" in report["classes"]:
+        report["ior_analytic_max_rel_error"] = (
+            report["classes"]["ior_analytic"]["max_rel_error"])
     return report
 
 

@@ -10,7 +10,15 @@ identity). This probe separates the possible causes:
 2. run the megakernel at round-3 knobs (K3 env) -> knob-stable events?
 3. image diff statistics  -> localized flips or broad drift?
 
-Usage: python tools/mesh_parity_probe.py [--scene 4] [--spp 20]
+Since round 5 this doubles as the HARDWARE DRIFT TRIPWIRE (verdict
+item 6): ``--check`` pins the measured envelope — each engine exactly
+deterministic, relative event divergence <= 5e-5 (round-4 measured
+4e-5 on scene 4, the worst case), pixel-diff fraction (>1e-3) <= 1.5%
+(measured 0.896% at spp 20) — and exits nonzero with one FAIL line if
+a kernel change widens the drift. Interpret-mode BIT-exactness is
+separately pinned in CI (tests/test_pallas3_mesh.py).
+
+Usage: python tools/mesh_parity_probe.py [--scene 4] [--spp 20] [--check]
 """
 
 import argparse
@@ -42,6 +50,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scene", type=int, default=4)
     ap.add_argument("--spp", type=int, default=20)
+    ap.add_argument("--check", action="store_true",
+                    help="thresholded pass/fail against the round-4 "
+                    "measured envelope; exit 1 on any violation")
+    ap.add_argument("--max-rel-events", type=float, default=5e-5)
+    ap.add_argument("--max-pixel-frac", type=float, default=0.015)
     args = ap.parse_args()
 
     img_p1, c_p1 = one(args.scene, args.spp, True)
@@ -49,19 +62,34 @@ def main():
     img_x1, c_x1 = one(args.scene, args.spp, False)
     img_x2, c_x2 = one(args.scene, args.spp, False)
 
+    det_ok = (c_p1 == c_p2 and bool((img_p1 == img_p2).all())
+              and c_x1 == c_x2 and bool((img_x1 == img_x2).all()))
     print(f"megakernel deterministic: counters {c_p1 == c_p2} "
           f"image {bool((img_p1 == img_p2).all())}", flush=True)
     print(f"xla        deterministic: counters {c_x1 == c_x2} "
           f"image {bool((img_x1 == img_x2).all())}", flush=True)
+    rel_events = max(
+        abs(a - b) / max(a, b, 1) for a, b in zip(c_p1, c_x1))
     print(f"counters megakernel={c_p1} xla={c_x1} "
-          f"drays={c_p1[0] - c_x1[0]}", flush=True)
+          f"drays={c_p1[0] - c_x1[0]} rel={rel_events:.2e}", flush=True)
     d = np.abs(img_p1 - img_x1)
     n_pix = d.shape[0] * d.shape[1]
     bad = (d.max(axis=-1) > 1e-3).sum()
+    frac = bad / n_pix
     print(f"image diff: max={d.max():.3e} mean={d.mean():.3e} "
-          f"pixels>1e-3: {bad}/{n_pix} ({100.0 * bad / n_pix:.3f}%)",
+          f"pixels>1e-3: {bad}/{n_pix} ({100.0 * frac:.3f}%)",
           flush=True)
+
+    if args.check:
+        ok = (det_ok and rel_events <= args.max_rel_events
+              and frac <= args.max_pixel_frac)
+        print(f"{'PASS' if ok else 'FAIL'}: deterministic={det_ok} "
+              f"rel_events={rel_events:.2e}<= {args.max_rel_events:.0e} "
+              f"pixel_frac={frac:.4f}<= {args.max_pixel_frac}",
+              flush=True)
+        return 0 if ok else 1
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    raise SystemExit(main())

@@ -176,9 +176,15 @@ def balanced_base_cached(scene, camera, width, height, max_depth,
         scene.atlas_hw, scene.atlas)]
     for v in camera:
         parts.append(np.asarray(v).tobytes())
+    # kernel knobs that reshape the miss profile the calibration
+    # measures: K_TEX/N_CACHE move the slot/cache schedule; quad mode
+    # (round 5) changes what a "miss" even keys on (quad rows)
+    from zraytrace_tpu.ops import bounce_kernel3 as _k3
+
     parts.append(np.asarray(
         [width, height, max_depth, n_lanes, n_slots, sample_groups,
-         calib_spp, seed, n_bounce, r_blk], np.int64).tobytes())
+         calib_spp, seed, n_bounce, r_blk,
+         _k3.K_TEX, _k3.N_CACHE, int(_k3._QUAD)], np.int64).tobytes())
     key = hashlib.sha256(b"".join(parts)).hexdigest()[:24]
     cdir = cache_dir or os.path.join(
         os.path.expanduser("~"), ".cache", "zraytrace_tpu", "balance")

@@ -197,19 +197,18 @@ def _restore_or_init(path, fp: str, params: RenderParams, n: int):
             np.zeros((N_COUNTERS, 2), np.uint64), 0)
 
 
-def _chunk_step(total: int, done: int, chunk: int, min_tail: int) -> int:
+def _chunk_step(total: int, done: int, chunk: int) -> int:
     """Next chunk size: plain ``min(chunk, remaining)``.
 
-    NOTE a final tail smaller than ``min_tail`` (the sample-group
-    count) changes the static ``sample_groups`` argument and compiles
-    one extra program (minutes through the TPU relay) — prefer a
-    ``chunk_spp`` that divides spp, or whose remainder is >= the group
-    count. Folding the tail into the previous chunk was tried and
-    REVERTED: it made the chunk plan depend on the total spp, so a
-    partial run + resume chunked differently from an uninterrupted run
-    and broke the bit-identical-resume contract (caught by
-    test_checkpoint round 4)."""
-    del min_tail  # kept in the signature for the docstring's contract
+    NOTE a final tail smaller than the sample-group count changes the
+    static ``sample_groups`` argument and compiles one extra program
+    (minutes through the TPU relay) — prefer a ``chunk_spp`` that
+    divides spp, or whose remainder is >= the group count. Folding the
+    tail into the previous chunk was tried and REVERTED: it made the
+    chunk plan depend on the total spp, so a partial run + resume
+    chunked differently from an uninterrupted run and broke the
+    bit-identical-resume contract (caught by test_checkpoint
+    round 4)."""
     return min(chunk, total - done)
 
 
@@ -283,19 +282,22 @@ def render_checkpointed(
     # (a resume that silently switched engines — e.g. TPU megakernel
     # run resumed with --cpu — would blend float orders and ~1e-5-class
     # event divergences from two engines into one image)
+    # jax.default_backend() is included like render_sharded_checkpointed's
+    # fingerprint: the resolved knobs alone cannot tell a TPU megakernel
+    # run from a CPU interpret-mode run with use_pallas forced True, and
+    # those two produce different float orders (advisor round 4).
     fp = scene_fingerprint(
         scene, camera,
         extra=(chunk_spp, use_pallas, mesh_pallas, tri_bvh is not None,
                n_lanes, n_slots, params.pallas_bounces,
-               params.pallas_r_blk, params.pallas_sample_groups))
+               params.pallas_r_blk, params.pallas_sample_groups,
+               jax.default_backend()))
     pixel_sum, counters, done = _restore_or_init(path, fp, params, n)
 
     ids = jnp.arange(n_lanes, dtype=jnp.int32)
     t0 = time.perf_counter()
     while done < params.samples_per_pixel:
-        step = _chunk_step(params.samples_per_pixel, done, chunk_spp,
-                           params.pallas_sample_groups if use_pallas
-                           else 1)
+        step = _chunk_step(params.samples_per_pixel, done, chunk_spp)
         if use_pallas:
             from zraytrace_tpu.ops.bounce_kernel3 import (
                 _wavefront_pallas3_jit,
@@ -391,8 +393,7 @@ def render_sharded_checkpointed(
     # binned-SAH build — only the cheap hash
     t0 = time.perf_counter()
     while done < params.samples_per_pixel:
-        step = _chunk_step(params.samples_per_pixel, done, chunk_spp,
-                           n_sample * params.pallas_sample_groups)
+        step = _chunk_step(params.samples_per_pixel, done, chunk_spp)
         sub = dataclasses.replace(params, samples_per_pixel=step)
         from zraytrace_tpu.parallel.mesh import render_sharded
 

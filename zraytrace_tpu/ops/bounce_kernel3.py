@@ -115,6 +115,22 @@ _SHARE_ROT = _os.environ.get("ZRAYTRACE_K3_SHARE_ROT", "0") == "1"
 # diagnostics (bench only; changes the program shape): report total
 # occupied texel slots and per-slot any-occupied launch counts.
 _DIAG = _os.environ.get("ZRAYTRACE_K3_DIAG", "0") == "1"
+# QUAD-PACKED texel slots (round 5): the per-launch gather costs
+# ~3-5 ns per ROW regardless of row width (PERF.md), so the atlas is
+# reshaped (F, 3) -> (F/4, 12) and a slot resolves FOUR consecutive
+# texels (one quad row) instead of one. Slots are keyed by quad
+# (texflat >> 2; the stored index stays the exact first-need texflat),
+# so a lane's ~2x2-texel footprint that used to occupy up to 4 slots
+# now shares 1-2 — fewer slot-exhaustion blocks, longer launches —
+# and K_TEX can drop with it, shrinking gather rows per launch too.
+# The outstanding-factor mask widens to 4 bits per slot (bit 4k+s =
+# sub-texel s of slot k owed): values fetched are the EXACT same
+# atlas f32s, so images change only in multiply order (the deferral's
+# existing deviation class) and counters stay bit-exact. Requires
+# atlas_w % 4 == 0 (quads must not straddle atlas rows) — true for
+# every padded atlas (scene.py pads to the max image width; the
+# shipped atlases are 1024 wide).
+_QUAD = _os.environ.get("ZRAYTRACE_K3_QUAD", "0") == "1"
 
 R_BLK = 64
 # Launches now stretch until the rare blocks accumulate; 32 in-kernel
@@ -189,6 +205,14 @@ SHARE_OFFS = tuple(
     .split(","))[:max(N_SHARE, 0)]
 N_CTOT = N_CACHE + N_SHARE
 N_STATE = 18 + 4 * N_CTOT
+# Packed-record layout (r, g, b, slot | mask << SLOT_SHIFT; -1 free):
+# quad mode needs 4 bits of mask per texel slot, so the mask field
+# widens and the slot field shrinks to what's left of the i32. The
+# sign bit may land inside the mask — records therefore test free
+# with == -1 (valid packs can never be all-ones: the slot guard keeps
+# the slot field below all-ones) and decode with explicit field masks.
+MASK_BITS = 4 * K_TEX if _QUAD else K_TEX
+SLOT_SHIFT = min(16, 32 - MASK_BITS)
 # Records are 4 planes since round 4: (r, g, b, packed) with
 # packed = pixel slot | texel mask << 16 (-1 = free). One equality
 # drives both the free test and the PARK FOLD below.
@@ -542,12 +566,23 @@ def make_bounce_kernel3(n_spheres: int, n_mats: int, shape,
             handled = jnp.zeros(blk, jnp.bool_)
             slot_bit = jnp.zeros(blk, jnp.int32)
             texidx2 = list(texidx)
+            if _QUAD:
+                # slots are keyed by quad row; the mask bit encodes
+                # which sub-texel of the row this need owes (module
+                # docstring). -1 >> 2 == -1 never matches a real quad.
+                subbit = jnp.left_shift(jnp.int32(1), texflat & 3)
             for k in range(K_TEX):
-                match_k = texflat == texidx[k]
+                if _QUAD:
+                    match_k = (texflat >> 2) == (texidx[k] >> 2)
+                else:
+                    match_k = texflat == texidx[k]
                 free_k = texidx[k] < 0
                 take = texmiss & ~handled & (match_k | free_k)
                 texidx2[k] = jnp.where(take & free_k, texflat, texidx[k])
-                slot_bit = jnp.where(take, jnp.int32(1 << k), slot_bit)
+                if _QUAD:
+                    slot_bit = jnp.where(take, subbit << (4 * k), slot_bit)
+                else:
+                    slot_bit = jnp.where(take, jnp.int32(1 << k), slot_bit)
                 handled = handled | take
             tex_block = texmiss & ~handled
 
@@ -627,13 +662,15 @@ def make_bounce_kernel3(n_spheres: int, n_mats: int, shape,
             # first free one; a commit (packed id = slot, mask 0 —
             # never collides with a park's nonzero mask) takes the
             # next free record.
-            want_p = slot | (tmask << 16)
+            want_p = slot | (tmask << SLOT_SHIFT)
             parked = jnp.zeros(blk, jnp.bool_)
             committed = jnp.zeros(blk, jnp.bool_)
             recs2 = list(recs)
             for m in range(M_REC):
                 rr, rg, rb, rp = recs[4 * m:4 * m + 4]
-                free_m = rp < 0
+                # == -1, not < 0: in quad mode the widened mask can set
+                # the sign bit of an occupied record (MASK_BITS note)
+                free_m = rp == -1
                 fold_m = park & ~parked & (rp == want_p)
                 take_p = park & ~parked & free_m
                 pk = fold_m | take_p
@@ -940,15 +977,23 @@ def wavefront_trace_pallas3(
     shape = (R, LANE)
     G = int(sample_groups)
     assert G >= 1
-    # The packed record id is slot | tmask << 16 (records section of
-    # make_bounce_kernel3): the slot counter sweeps pixel stripes x
-    # sample groups and must fit 16 bits or record sums decode into the
-    # wrong stripe/texel. Reachable only with a pathologically narrow
-    # wavefront on a huge image (e.g. 256 lanes x 4M pixels); every
-    # product configuration is ~16 slots x G=8.
-    assert n_slots * G < (1 << 16), (
-        f"slot counter {n_slots}x{G} overflows the 16-bit packed "
-        "record id — widen the wavefront (n_lanes) for this image")
+    # The packed record id is slot | tmask << SLOT_SHIFT (records
+    # section of make_bounce_kernel3): the slot counter sweeps pixel
+    # stripes x sample groups and must fit the slot field or record
+    # sums decode into the wrong stripe/texel. Reachable only with a
+    # pathologically narrow wavefront on a huge image (e.g. 256 lanes x
+    # 4M pixels) — or quad mode at K_TEX > 4, whose widened mask
+    # shrinks the slot field; every product configuration is ~16 slots
+    # x G=8.
+    if n_slots * G >= (1 << SLOT_SHIFT):  # ValueError: must survive -O
+        raise ValueError(
+            f"slot counter {n_slots}x{G} overflows the {SLOT_SHIFT}-bit "
+            "packed record id — widen the wavefront (n_lanes) for this "
+            "image" + (" or disable ZRAYTRACE_K3_QUAD" if _QUAD else ""))
+    if _QUAD and scene.atlas.shape[2] % 4 != 0:
+        raise ValueError(
+            f"quad texel slots need atlas width % 4 == 0, got "
+            f"{scene.atlas.shape[2]}")
 
     n_gb = G - 1 if (permuted_base and G > 1) else 0
     n_state = N_STATE + n_gb
@@ -1055,6 +1100,10 @@ def wavefront_trace_pallas3(
     atlas_flat = scene.atlas.reshape(-1, 3)
     _au8 = jnp.round(atlas_flat * 255.0).astype(jnp.int32)
     atlas_packed = (_au8[:, 0] << 16) | (_au8[:, 1] << 8) | _au8[:, 2]
+    # quad mode: one gathered ROW carries four consecutive texels —
+    # same per-row gather cost (width-independent, PERF.md), 4x the
+    # texels. atlas_w % 4 == 0 keeps quads inside one atlas row.
+    atlas_quad = (atlas_flat.reshape(-1, 12) if _QUAD else None)
 
     def cond(s):
         # slot-based: a lane on an invalid rotated slot still has work
@@ -1083,7 +1132,13 @@ def wavefront_trace_pallas3(
         # flush (rgb x their referenced texels) into their slot plane
         idx_all = jnp.stack(tex_o)  # (K, R, 128)
         if _NOGATHER:  # timing probe: constant texel, image wrong
-            tex_rgb = jnp.full((K_TEX,) + shape + (3,), 0.5, jnp.float32)
+            tex_rgb = jnp.full(
+                (K_TEX,) + shape + ((12,) if _QUAD else (3,)), 0.5,
+                jnp.float32)
+        elif _QUAD:
+            # (K, R, 128, 12): slot k's quad row; sub-texel s occupies
+            # channels 3s..3s+2 (exact atlas f32 values)
+            tex_rgb = atlas_quad[jnp.maximum(idx_all, 0) >> 2]
         elif _PACKED:
             flat = jnp.maximum(idx_all, 0).reshape(-1)
             packed = atlas_packed.at[flat].get(
@@ -1108,6 +1163,17 @@ def wavefront_trace_pallas3(
             tex_rgb = atlas_flat[jnp.maximum(idx_all, 0)]
 
         def mask_mul(rgb_r, rgb_g, rgb_b, mask):
+            if _QUAD:
+                for k in range(K_TEX):
+                    for s_ in range(4):
+                        bit = ((mask >> (4 * k + s_)) & 1) == 1
+                        rgb_r = jnp.where(
+                            bit, rgb_r * tex_rgb[k, ..., 3 * s_ + 0], rgb_r)
+                        rgb_g = jnp.where(
+                            bit, rgb_g * tex_rgb[k, ..., 3 * s_ + 1], rgb_g)
+                        rgb_b = jnp.where(
+                            bit, rgb_b * tex_rgb[k, ..., 3 * s_ + 2], rgb_b)
+                return rgb_r, rgb_g, rgb_b
             for k in range(K_TEX):
                 bit = ((mask >> k) & 1) == 1
                 rgb_r = jnp.where(bit, rgb_r * tex_rgb[k, ..., 0], rgb_r)
@@ -1118,27 +1184,48 @@ def wavefront_trace_pallas3(
         p["tr"], p["tg"], p["tb"] = mask_mul(
             p["tr"], p["tg"], p["tb"], tmask_o)
         resolved = []
+        mbits_all = (1 << (4 * K_TEX if _QUAD else K_TEX)) - 1
+        sbits_all = (1 << SLOT_SHIFT) - 1
         for m in range(M_REC):
             rr, rg, rb, rp = recs_o[4 * m:4 * m + 4]
-            # unpack slot | mask << 16 (-1 = free -> slot -1, mask 0)
-            occ = rp >= 0
-            rs_ = jnp.where(occ, rp & 0xFFFF, -1)
-            rk = jnp.where(occ, rp >> 16, 0)
+            # unpack slot | mask << SLOT_SHIFT (-1 = free -> slot -1,
+            # mask 0); == -1 / field masks because a quad-mode mask may
+            # occupy the sign bit (MASK_BITS note at top)
+            occ = rp != -1
+            rs_ = jnp.where(occ, rp & sbits_all, -1)
+            rk = jnp.where(occ, (rp >> SLOT_SHIFT) & mbits_all, 0)
             rr, rg, rb = mask_mul(rr, rg, rb, rk)
             resolved.append((rr, rg, rb, rs_))
+
+        def texel_rgb(k):
+            """Slot k's EXACT resolved texel (the stored first-need
+            index): in quad mode select its sub-texel channels from
+            the fetched quad row."""
+            if not _QUAD:
+                return (tex_rgb[k, ..., 0], tex_rgb[k, ..., 1],
+                        tex_rgb[k, ..., 2])
+            sub = tex_o[k] & 3
+            out = []
+            for c in range(3):
+                v = tex_rgb[k, ..., c]
+                for s_ in range(1, 4):
+                    v = jnp.where(sub == s_, tex_rgb[k, ..., 3 * s_ + c], v)
+                out.append(v)
+            return tuple(out)
 
         # refresh the in-kernel texel cache with the resolved values:
         # entry 0 takes the newest texel, older entries shift (FIFO)
         for k in range(K_TEX):
             has = tex_o[k] >= 0
+            vr_, vg_, vb_ = texel_rgb(k)
             for c in range(N_CACHE - 1, 0, -1):
                 for f in ("idx", "r", "g", "b"):
                     p[f"c{c}{f}"] = jnp.where(
                         has, p[f"c{c - 1}{f}"], p[f"c{c}{f}"])
             p["c0idx"] = jnp.where(has, tex_o[k], p["c0idx"])
-            p["c0r"] = jnp.where(has, tex_rgb[k, ..., 0], p["c0r"])
-            p["c0g"] = jnp.where(has, tex_rgb[k, ..., 1], p["c0g"])
-            p["c0b"] = jnp.where(has, tex_rgb[k, ..., 2], p["c0b"])
+            p["c0r"] = jnp.where(has, vr_, p["c0r"])
+            p["c0g"] = jnp.where(has, vg_, p["c0g"])
+            p["c0b"] = jnp.where(has, vb_, p["c0b"])
 
         # newest-resolve planes feed both share mechanisms below
         if (_SHARE and G > 1) or N_SHARE > 0:
@@ -1149,11 +1236,12 @@ def wavefront_trace_pallas3(
             nb = jnp.zeros(shape, jnp.float32)
             for k in range(K_TEX):
                 hk = tex_o[k] >= 0
+                vr_, vg_, vb_ = texel_rgb(k)
                 nh = nh | hk
                 nidx = jnp.where(hk, tex_o[k], nidx)
-                nr = jnp.where(hk, tex_rgb[k, ..., 0], nr)
-                ng_ = jnp.where(hk, tex_rgb[k, ..., 1], ng_)
-                nb = jnp.where(hk, tex_rgb[k, ..., 2], nb)
+                nr = jnp.where(hk, vr_, nr)
+                ng_ = jnp.where(hk, vg_, ng_)
+                nb = jnp.where(hk, vb_, nb)
 
             def _rollg(x, off):
                 return jnp.roll(x.reshape(-1), off).reshape(shape)
