@@ -67,13 +67,14 @@ def main():
     n = size * size
 
     def make_loss(edge=(0.01, 0.02), branch=True, remat=True,
-                  flat=False):
+                  flat=False, bilinear=True):
         def loss(p):
             s = merge_scene(p, static)
             if not flat and remat:
                 img = render_diff(s, camera, size, size, spp, depth,
                                   seed=seed, edge_eps=edge,
-                                  branch_grad=branch)
+                                  branch_grad=branch,
+                                  bilinear_textures=bilinear)
                 return image_loss(img, target)
             # direct trace_paths variants (remat off / flat samples)
             pixel_ids = jnp.arange(n, dtype=jnp.int32)
@@ -132,6 +133,11 @@ def main():
                 p, **{k: static_g[k] for k in params if k not in p}))),
          geom_params),
         ("flat_samples", jax.value_and_grad(make_loss(flat=True)), params),
+        # nearest-neighbor texel fetches: 1 gather/scatter per hit
+        # instead of bilinear's 4 — isolates the scatter-row share of
+        # the atlas-gradient cost (grads differ; timing probe only)
+        ("nearest_tex", jax.value_and_grad(make_loss(bilinear=False)),
+         params),
     ]
     out = {}
     for name, fn, arg in variants:

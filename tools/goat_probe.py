@@ -17,6 +17,8 @@ import argparse
 import sys
 import time
 
+sys.path.insert(0, ".")
+
 from zraytrace_tpu.runtime import enable_compilation_cache
 
 enable_compilation_cache()

@@ -68,8 +68,11 @@ def main():
           f"image {bool((img_p1 == img_p2).all())}", flush=True)
     print(f"xla        deterministic: counters {c_x1 == c_x2} "
           f"image {bool((img_x1 == img_x2).all())}", flush=True)
-    rel_events = max(
-        abs(a - b) / max(a, b, 1) for a, b in zip(c_p1, c_x1))
+    # events per SEGMENT: divergence counts normalized by the ray
+    # (segment) total, not per-counter — recursion hits are ~tens on
+    # ~17M rays and a per-counter ratio would read as huge
+    rel_events = max(abs(a - b) for a, b in zip(c_p1, c_x1)) / max(
+        c_p1[0], c_x1[0], 1)
     print(f"counters megakernel={c_p1} xla={c_x1} "
           f"drays={c_p1[0] - c_x1[0]} rel={rel_events:.2e}", flush=True)
     d = np.abs(img_p1 - img_x1)

@@ -49,6 +49,8 @@ occlusion sigmoid runs at eps*OCC_EPS_SCALE internally.
 
 from __future__ import annotations
 
+import os as _os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -61,6 +63,21 @@ _BIG = np.float32(3.4e38)
 # Margins are relative (sphere: fraction of radius; triangle:
 # barycentric), so one bandwidth serves both primitive types.
 DEFAULT_EDGE_EPS = 0.01
+
+# SCREEN-SPACE margins (round 5, verdict item 3): relative margins give
+# every primitive the same band in ITS OWN units, so the effective
+# geometric band width varies with triangle shape and viewing distance
+# — at mid-range (teapot scale 0.5) the mix of wide and narrow
+# effective bands biases the pose gradient (cos vs exact FD +0.61,
+# y-axis sign flipped; tools/occl_grad_probe.py). Screen mode divides
+# each margin by its sweep speed: triangles use the true geometric
+# distance to the nearest edge (barycentric x edge height, from
+# |fn| = 2*Area) and spheres the geometric limb distance (m_rel * r),
+# both divided by the candidate's own t — an ANGULAR margin, so eps
+# becomes an angular bandwidth uniform across the image (the classical
+# soft-rasterizer normalization). Forward images are unchanged either
+# way (the factor is exactly 1.0); only the backward weighting moves.
+_SCREEN = _os.environ.get("ZRAYTRACE_EDGE_SCREEN", "0") == "1"
 
 
 def silhouette_margin(scene: Scene, o, d, h, t_min=1e-3,
@@ -127,12 +144,20 @@ def silhouette_margin(scene: Scene, o, d, h, t_min=1e-3,
             t = jnp.where(ok1, t1, t2)
             valid = (disc >= 0.0) & (ok1 | ok2)
             better = valid & (t < t_best)
+            if _SCREEN:
+                # angular margin: geometric limb distance (m * r) over
+                # the candidate's own distance (hit t / tangency point)
+                m_hit_s = m * r / jnp.maximum(jnp.where(valid, t, 1.0),
+                                              t_min)
+                m_near_s = m * r / jnp.maximum(-half_b, t_min)
+            else:
+                m_hit_s = m_near_s = m
             t_best = jnp.where(better, t, t_best)
-            margin_hit_sph = jnp.where(better, m, margin_hit_sph)
+            margin_hit_sph = jnp.where(better, m_hit_s, margin_hit_sph)
             # near miss: tangency point (-half_b) in front, before t_cap
             near = (disc < 0.0) & (-half_b > t_min) & (-half_b < t_cap)
             miss_margin = jnp.maximum(miss_margin,
-                                      jnp.where(near, m, -jnp.inf))
+                                      jnp.where(near, m_near_s, -jnp.inf))
             # occlusion candidate: this sphere's nearest root behind
             # the ray's winner (the winner itself fails the guard)
             occ = valid & (t > t_excl)
@@ -163,7 +188,7 @@ def silhouette_margin(scene: Scene, o, d, h, t_min=1e-3,
         oxd = vm.cross(o, d)
 
         def body(i, carry):
-            mm, tocc = carry
+            mm, tocc, mwin = carry
             p = jax.tree_util.tree_map(lambda x: x[i], pack_r)
             det = -(d @ p.fn.T)
             safe = jnp.abs(det) > 1e-12
@@ -172,17 +197,51 @@ def silhouette_margin(scene: Scene, o, d, h, t_min=1e-3,
             vv = -(oxd @ p.e1.T - d @ p.e1xa.T) * inv_det
             tt = (o @ p.fn.T - p.a_dot_fn[None, :]) * inv_det
             m = jnp.minimum(jnp.minimum(uu, vv), 1.0 - uu - vv)
+            if _SCREEN:
+                # geometric edge distances: barycentric x edge height
+                # (|fn| = 2*Area; height over edge e = |fn| / |e|),
+                # over the candidate's own distance -> angular margin
+                fl = jnp.sqrt(jnp.sum(p.fn * p.fn, -1))
+                hu = fl / jnp.maximum(
+                    jnp.sqrt(jnp.sum(p.e2 * p.e2, -1)), 1e-12)
+                hv = fl / jnp.maximum(
+                    jnp.sqrt(jnp.sum(p.e1 * p.e1, -1)), 1e-12)
+                ew = p.e2 - p.e1
+                hw = fl / jnp.maximum(
+                    jnp.sqrt(jnp.sum(ew * ew, -1)), 1e-12)
+                m_s = jnp.minimum(
+                    jnp.minimum(uu * hu[None, :], vv * hv[None, :]),
+                    (1.0 - uu - vv) * hw[None, :],
+                ) / jnp.maximum(jnp.abs(tt), t_min)
+            else:
+                m_s = m
             near = ((det >= DET_EPS) & (tt > t_min)
                     & (tt < t_cap[:, None]) & (m < 0.0))
-            m_near = jnp.max(jnp.where(near, m, -jnp.inf), axis=-1)
+            m_near = jnp.max(jnp.where(near, m_s, -jnp.inf), axis=-1)
             # occlusion candidate: interior crossing behind the winner
             occ = ((det >= DET_EPS) & (m >= 0.0)
                    & (tt > t_excl[:, None]))
             t_near = jnp.min(jnp.where(occ, tt, _BIG), axis=-1)
-            return jnp.maximum(mm, m_near), jnp.minimum(tocc, t_near)
+            if _SCREEN:
+                # recover the WINNER's screen margin (the hit dict has
+                # only uv): the interior candidate whose t matches the
+                # ray's winner within the 1e-5 relative guard
+                winm = ((det >= DET_EPS) & (m >= 0.0)
+                        & (tt > t_min) & (tt <= t_excl[:, None])
+                        & (tt >= (t_first * (1.0 - 1e-5))[:, None]))
+                m_w = jnp.max(jnp.where(winm, m_s, -jnp.inf), axis=-1)
+                mwin = jnp.maximum(mwin, m_w)
+            return jnp.maximum(mm, m_near), jnp.minimum(tocc, t_near), mwin
 
-        miss_margin, t_occ = jax.lax.fori_loop(
-            0, n_chunks, body, (miss_margin, t_occ))
+        miss_margin, t_occ, m_win_scr = jax.lax.fori_loop(
+            0, n_chunks, body,
+            (miss_margin, t_occ, jnp.full((n,), -jnp.inf)))
+        if _SCREEN:
+            # fall back to the relative margin if the guard missed
+            # (ulp-level t mismatch): better a slightly off scale than
+            # a -inf margin
+            margin_hit_tri = jnp.where(
+                m_win_scr > -jnp.inf, m_win_scr, margin_hit_tri)
     else:
         margin_hit_tri = jnp.zeros((n,), jnp.float32)
 

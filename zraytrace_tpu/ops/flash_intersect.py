@@ -133,6 +133,12 @@ _GRP_MIN_CHUNKS = int(_os.environ.get("ZRAYTRACE_FLASH_GRP_MIN", "256"))
 # so it engages above _SORT_MIN_CHUNKS chunks only.
 _SORT_MIN_CHUNKS = int(_os.environ.get("ZRAYTRACE_FLASH_SORT_MIN", "256"))
 _SORT = _os.environ.get("ZRAYTRACE_FLASH_SORT", "1") == "1"
+# Near-ordered work lists + in-kernel early exit (round 5, verdict
+# item 2): block work lists sort by earliest entry distance (the SAME
+# argsort the compaction already pays, different key) and the RL visit
+# loop stops when the next entry distance exceeds every ray's current
+# winner. Engages with the same chunk-count gate as the ray sort.
+_NEAR_EXIT = _os.environ.get("ZRAYTRACE_FLASH_NEAR_EXIT", "0") == "1"
 # "reach": sort rays by the centroid of their own reachable-chunk set
 # (the exact signal the block union depends on — computed from the
 # reach matrix the prepass produces anyway). "morton": origin cell +
@@ -323,6 +329,50 @@ def _ray_chunk_reach(bounds, o, d, ti, t_min):
     near = jnp.max(jnp.minimum(t1, t2), axis=-1)
     far = jnp.min(jnp.maximum(t1, t2), axis=-1)
     return (near <= far) & (far > t_min) & (near <= ti[:, None])
+
+
+def _ray_chunk_reach_near(bounds, o, d, ti, t_min):
+    """`_ray_chunk_reach` plus the per-(ray, chunk) entry distance
+    ``near`` (meaningful only where reach is True)."""
+    lo = bounds[None, :, 0:3]
+    hi = bounds[None, :, 3:6]
+    safe_d = jnp.where(jnp.abs(d) < 1e-30, 1e-30, d)
+    inv = (1.0 / safe_d)[:, None, :]
+    t1 = (lo - o[:, None, :]) * inv
+    t2 = (hi - o[:, None, :]) * inv
+    near = jnp.max(jnp.minimum(t1, t2), axis=-1)
+    far = jnp.min(jnp.maximum(t1, t2), axis=-1)
+    reach = (near <= far) & (far > t_min) & (near <= ti[:, None])
+    return reach, near
+
+
+def _block_worklists_near(reach, near, n_blocks):
+    """NEAR-ORDERED work lists (round 5): like `_block_worklists` but
+    each block's reachable chunk ids are sorted by the block's earliest
+    entry distance (min over its reaching rays of ``near``) instead of
+    ascending id — the same single argsort, a different key. Visiting
+    near chunks first lets the kernel's running winner tighten early so
+    the in-kernel early exit (``_kernel_rl`` near_ref) can cut the tail
+    of the list: once the sorted entry distance exceeds every ray's
+    current winner, no remaining chunk can produce a strictly closer
+    hit. Returns ``(wl, n_work, near_sorted)``; near_sorted is +inf
+    past n_work. Chunk-visit ORDER changes, so bit-equal-t ties between
+    DISTINCT triangles may resolve differently (the same borderline
+    class as chunked dispatch, PERF.md round 4); exact ties do not
+    occur in the reference scenes."""
+    C = reach.shape[1]
+    reach_r = reach.reshape(n_blocks, -1, C)
+    reach_b = jnp.any(reach_r, axis=1)
+    n_work = jnp.sum(reach_b, axis=1, dtype=jnp.int32)[:, None]
+    if _NOWORK:
+        n_work = jnp.zeros_like(n_work)
+    INF = jnp.float32(3.4e38)
+    near_b = jnp.min(
+        jnp.where(reach_r, near.reshape(n_blocks, -1, C), INF), axis=1)
+    key = jnp.where(reach_b, near_b, INF)
+    wl = jnp.argsort(key, axis=1, stable=True).astype(jnp.int32)
+    near_sorted = jnp.take_along_axis(key, wl, axis=1)
+    return wl, n_work, near_sorted
 
 
 def _block_worklists(reach, n_blocks):
@@ -537,8 +587,9 @@ def _winner_scan(planes_ref, o_ref, d_ref, read_wl, n_work, t_min,
 
 
 def _kernel_rl(planes_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
-               dz_ref, ti_ref, tmin_ref, wl_in, nw_ref, out_ref,
-               need_uv=True, use_cols=False, grp=1, n_chunks=0):
+               dz_ref, ti_ref, tmin_ref, wl_in, nw_ref, *rest,
+               need_uv=True, use_cols=False, grp=1, n_chunks=0,
+               near_exit=False):
     """Rays-on-lanes winner scan (see _RL): one grid block = 128 rays
     as a dense (1, 128) lane row; triangle chunks stream as (128, 1)
     sublane columns; the winner state is (128 tri-slots, 128 rays) and
@@ -549,7 +600,19 @@ def _kernel_rl(planes_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
     ``grp > 1``: two-level mode — work-list entries are GROUP ids and
     each visit unrolls the group's ``grp`` chunks (see _GRP). Ragged
     tail groups clamp to the last chunk; revisiting a chunk cannot
-    change winners (strict ``t < tb``)."""
+    change winners (strict ``t < tb``).
+
+    ``near_exit`` (round 5): work lists are NEAR-ORDERED
+    (_block_worklists_near) and an extra SMEM input carries the sorted
+    block entry distances; the visit loop stops once the next entry
+    distance exceeds every ray's current winner (max over rays of the
+    column-min of tb) — no remaining chunk can then beat any winner
+    (each ray's own entry distance is >= the block min, and a hit in a
+    chunk needs t >= that ray's entry distance)."""
+    if near_exit:
+        near_ref, out_ref = rest
+    else:
+        (out_ref,) = rest
     t_min = tmin_ref[0]
     n_work = nw_ref[0, 0, 0]
     row = lambda r: r[0, 0, :][None, :]  # (1, 128) rays on lanes
@@ -597,12 +660,22 @@ def _kernel_rl(planes_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
             cb = jnp.where(better, ci, cb)
         return tb, ub, vb, ob, cb
 
+    wl_width = wl_in.shape[2]
+
+    def cont_flag(i2, tb):
+        """True while position i2 exists AND its (near-sorted) entry
+        distance can still beat some ray's current winner."""
+        in_range = i2 < n_work
+        cap = jnp.max(jnp.min(tb, axis=0))  # best-so-far, worst ray
+        nxt = near_ref[0, 0, jnp.minimum(i2, wl_width - 1)]
+        return in_range & (nxt <= cap)
+
     def work_body(carry):
         if need_uv:
-            i, tb, ub, vb, ob = carry
+            i, tb, ub, vb, ob = carry[:5]
             cb = None
         else:
-            i, tb, cb = carry
+            i, tb, cb = carry[:3]
             ub = vb = ob = None
         wi = wl_in[0, 0, i]
         if grp > 1:
@@ -612,19 +685,32 @@ def _kernel_rl(planes_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
         else:
             tb, ub, vb, ob, cb = visit(wi, tb, ub, vb, ob, cb)
         if need_uv:
-            return i + 1, tb, ub, vb, ob
-        return i + 1, tb, cb
+            out = (i + 1, tb, ub, vb, ob)
+        else:
+            out = (i + 1, tb, cb)
+        if near_exit:
+            out = out + (cont_flag(i + 1, tb),)
+        return out
+
+    if near_exit:
+        cond = lambda c: c[-1]
+    else:
+        cond = lambda c: c[0] < n_work
 
     fzs = lambda: jnp.zeros(shape, jnp.float32)
     if need_uv:
         init = (jnp.int32(0), tb0, fzs(), fzs(), fzs())
-        _, tb, ub, vb, ob = jax.lax.while_loop(
-            lambda c: c[0] < n_work, work_body, init)
+        if near_exit:
+            init = init + (cont_flag(jnp.int32(0), tb0),)
+        fin = jax.lax.while_loop(cond, work_body, init)
+        _, tb, ub, vb, ob = fin[:5]
         cb = None
     else:
         init = (jnp.int32(0), tb0, jnp.zeros(shape, jnp.int32))
-        _, tb, cb = jax.lax.while_loop(
-            lambda c: c[0] < n_work, work_body, init)
+        if near_exit:
+            init = init + (cont_flag(jnp.int32(0), tb0),)
+        fin = jax.lax.while_loop(cond, work_body, init)
+        _, tb, cb = fin[:3]
 
     # one cross-SUBLANE reduction pass per block
     t_best = jnp.min(tb, axis=0, keepdims=True)  # (1, 128)
@@ -701,7 +787,18 @@ def _flash_rl(planes: TriPlanes, o, d, t_min, ti, reach_cap=None,
     need_uv = planes.attrs is None
     tmin_arr = jnp.full((1,), t_min, jnp.float32)
     cap = ti if reach_cap is None else reach_cap
-    if worklists is not None:
+    near_exit = (_NEAR_EXIT and worklists is None
+                 and planes.group_bounds is None
+                 and n_chunks >= _SORT_MIN_CHUNKS)
+    near_sorted = None
+    if near_exit:
+        grp = 1
+        reach, near = _ray_chunk_reach_near(planes.bounds, o, d, cap,
+                                            t_min)
+        wl, nw, near_sorted = _block_worklists_near(reach, near,
+                                                    n_blocks)
+        wl_width = n_chunks
+    elif worklists is not None:
         wl, nw, grp = worklists
         wl_width = wl.shape[1]
     elif planes.group_bounds is not None:
@@ -726,10 +823,16 @@ def _flash_rl(planes: TriPlanes, o, d, t_min, ti, reach_cap=None,
             dense(o[:, 0]), dense(o[:, 1]), dense(o[:, 2]),
             dense(d[:, 0]), dense(d[:, 1]), dense(d[:, 2]),
             dense(ti), tmin_arr, wl, nw]
+    near_specs = []
+    if near_exit:
+        args.append(near_sorted[:, None, :])
+        near_specs = [pl.BlockSpec((1, 1, wl_width), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.SMEM)]
 
     def kern(*refs):
         return _kernel_rl(*refs, need_uv=need_uv, use_cols=use_cols,
-                          grp=grp, n_chunks=n_chunks)
+                          grp=grp, n_chunks=n_chunks,
+                          near_exit=near_exit)
 
     row_spec = pl.BlockSpec((1, 1, LANE), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
@@ -744,7 +847,8 @@ def _flash_rl(planes: TriPlanes, o, d, t_min, ti, reach_cap=None,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
-        ],
+        ]
+        + near_specs,
         out_specs=pl.BlockSpec((1, 8, LANE), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_blocks, 8, LANE), jnp.float32),

@@ -97,20 +97,27 @@ def texture_albedo(scene: sc.Scene, tex_id: jnp.ndarray, uv: jnp.ndarray,
         tx = (fx - x0)[:, None]
         ty = (fy - y0)[:, None]
 
-        def fetch_c(xi, yi):
-            xi = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
-            yi = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
-            return fetch(xi, yi)
-
-        c00 = fetch_c(x0, y0)
-        c10 = fetch_c(x0 + 1, y0)
-        c01 = fetch_c(x0, y0 + 1)
-        c11 = fetch_c(x0 + 1, y0 + 1)
+        # ONE batched (N, 4) gather instead of four separate fetches:
+        # XLA then emits ONE scatter for the atlas adjoint — four
+        # separate scatter-adds cost ~211 ms/step on the v5e
+        # sphere-albedo fit vs ~6 ms for one (tools/diff_decomp.py,
+        # round 5). Forward values are bit-identical: each tap's
+        # product keeps the original association
+        # (c * weight_x) * weight_y.
+        xs = jnp.stack([x0, x0 + 1.0, x0, x0 + 1.0], axis=1)  # (N, 4)
+        ys = jnp.stack([y0, y0, y0 + 1.0, y0 + 1.0], axis=1)
+        xi = jnp.clip(xs, 0.0, (w - 1.0)[:, None]).astype(jnp.int32)
+        yi = jnp.clip(ys, 0.0, (h - 1.0)[:, None]).astype(jnp.int32)
+        flat4 = base.astype(jnp.int32)[:, None] + yi * atlas_w + xi
+        # gather through a FLAT (N*4,) index: the (N,4)-indexed form
+        # lowers its scatter adjoint an order of magnitude slower on
+        # TPU than the 1-D-indexed form (tools/diff_decomp.py round 5)
+        c = flat_atlas[flat4.reshape(-1)].reshape(flat4.shape + (3,))
         img_color = (
-            c00 * (1 - tx) * (1 - ty)
-            + c10 * tx * (1 - ty)
-            + c01 * (1 - tx) * ty
-            + c11 * tx * ty
+            c[:, 0] * (1 - tx) * (1 - ty)
+            + c[:, 1] * tx * (1 - ty)
+            + c[:, 2] * (1 - tx) * ty
+            + c[:, 3] * tx * ty
         )
     else:
         # Truncation + clamp exactly as texture.zig:70-73.
