@@ -34,6 +34,12 @@ def main():
                          "(>~1) leave the silhouette attraction basin "
                          "and want a coarse-to-fine eps schedule")
     ap.add_argument("--lr", type=float, default=2e-2)
+    ap.add_argument("--screen", action="store_true",
+                    help="screen-space (angular) silhouette margins "
+                         "(edge_grad screen mode, round 5): one uniform"
+                         " angular band — converges from far AND "
+                         "mid-range inits without --coarse; use with "
+                         "--eps ~5e-4")
     ap.add_argument("--eps", type=float, default=0.015,
                     help="edge bandwidth (the pair (eps, 2*eps) is "
                          "used); wider reaches further from the "
@@ -117,6 +123,7 @@ def main():
                            args.spp, args.depth, mesh_fast=True,
                            tri_flash=tri_flash,
                            edge_eps=(eps, 2 * eps),
+                           edge_screen=args.screen or None,
                            edge_occlusion=occ)
 
     true_off = jnp.asarray([0.0, 0.0, 0.0], jnp.float32)

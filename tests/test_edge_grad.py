@@ -175,3 +175,33 @@ def test_occlusion_boundary_gradient_matches_fd():
 
     assert abs(gx_on - fd) <= 0.15 * abs(fd), (gx_on, fd)
     assert abs(gx_on - fd) < 0.5 * abs(gx_off - fd), (gx_on, gx_off, fd)
+
+
+def test_screen_margin_gradient_matches_fd():
+    """Screen-space (angular) margins — edge_grad `screen` mode
+    (round 5): margins divide by their sweep speed, so the bandwidth is
+    uniform in screen space and the mid-range pose bias disappears
+    (hardware: teapot cos vs FD 0.61 -> 0.92+, PERF.md round 5). Here:
+    on the canonical sphere-coverage probe the screen-mode gradient
+    must match correlated FD like the relative mode does. The angular
+    eps pairing with an FD step h is h/t (sphere at t ~ 5-7:
+    h=0.01 -> eps ~ 0.0015-0.002)."""
+    scene, camera = _sphere_scene()
+    params, static = split_scene(scene)
+    w = h = 64
+    spp, depth = 128, 3
+    target = jnp.zeros((h, w, 3), jnp.float32)
+
+    loss_plain = make_loss_fn(static, camera, target, w, h, spp, depth)
+    loss_scr = make_loss_fn(static, camera, target, w, h, spp, depth,
+                            edge_eps=(0.0015, 0.003), edge_screen=True)
+    # forward identical: the factor is exactly 1.0
+    np.testing.assert_allclose(float(jax.jit(loss_plain)(params)),
+                               float(jax.jit(loss_scr)(params)),
+                               rtol=1e-6)
+    g = jax.grad(loss_scr)(params)
+    loss_jit = jax.jit(loss_plain)
+    fd_r = np.mean([_fd(loss_jit, params, "sph_radius", 0, hh)
+                    for hh in (0.01, 0.02)])
+    er = float(g["sph_radius"][0])
+    assert abs(er - fd_r) <= 0.12 * abs(fd_r), (er, fd_r)

@@ -79,32 +79,54 @@ def bench_sphere_albedo(size, spp, depth, steps, seed=42):
 
     target = jnp.zeros((size, size, 3), jnp.float32)
 
-    def loss_fn(p):
-        img = render_diff(merge_scene(p, static), camera, size, size,
-                          spp, depth, seed=seed, edge_eps=(0.01, 0.02))
-        return image_loss(img, target)
+    def make_step(live_fields):
+        """Adam step differentiating exactly ``live_fields`` — frozen
+        leaves close over the loss as constants (the fit() round-5
+        policy: the atlas adjoint alone is ~70% of an all-leaves step,
+        tools/diff_decomp.py)."""
+        live = {f: params[f] for f in live_fields}
+        rest = {**static, **{f: v for f, v in params.items()
+                             if f not in live_fields}}
 
-    opt = optax.adam(1e-2)
+        def loss_fn(p):
+            img = render_diff(merge_scene(p, rest), camera, size, size,
+                              spp, depth, seed=seed,
+                              edge_eps=(0.01, 0.02))
+            return image_loss(img, target)
 
-    @jax.jit
-    def step(p, o):
-        val, g = jax.value_and_grad(loss_fn)(p)
-        upd, o = opt.update(g, o)
-        return optax.apply_updates(p, upd), o, val
+        opt = optax.adam(1e-2)
 
-    compile_s, step_s = _time_steps(step, (params, opt.init(params)),
-                                    steps)
+        @jax.jit
+        def step(p, o):
+            val, g = jax.value_and_grad(loss_fn)(p)
+            upd, o = opt.update(g, o)
+            return optax.apply_updates(p, upd), o, val
+
+        return step, (live, opt.init(live))
+
+    # the BASELINE configs[4] workload: recover sphere positions +
+    # albedo (centers, radii, texture table colors)
+    step, init = make_step(("sph_center", "sph_radius", "tex_color"))
+    compile_s, step_s = _time_steps(step, init, steps)
+    # the maximal differentiation surface (every leaf incl. the
+    # (A,H,W,3) atlas texels) — kept measured beside it
+    step_all, init_all = make_step(tuple(params))
+    compile_all, step_all_s = _time_steps(step_all, init_all, steps)
     return dict(
         config=dict(scene="threeBalls(1)", width=size, height=size,
                     spp=spp, depth=depth, seed=seed,
                     edge_eps=[0.01, 0.02],
-                    grads="all Scene leaves (centers, radii, IORs, "
-                          "texture colors, atlas texels)"),
+                    grads="sph_center + sph_radius + tex_color (the "
+                          "BASELINE configs[4] recovery workload); "
+                          "_all_leaves adds IORs, vertices and atlas "
+                          "texels"),
         rays_forward=rays,
         step_seconds=round(step_s, 4),
         compile_seconds=round(compile_s, 1),
         eff_rays_per_s=round(rays / step_s),
         pixel_samples_per_s=round(size * size * spp / step_s),
+        step_seconds_all_leaves=round(step_all_s, 4),
+        eff_rays_per_s_all_leaves=round(rays / step_all_s),
     )
 
 

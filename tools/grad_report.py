@@ -96,19 +96,26 @@ def _material_scene():
 
 # class -> (scene builder, field, component indices, edge bandwidths,
 #           fd steps, (spp, depth) scale factors)
+# Boundary-term classes (center, vertex, pose) run at 4x the base spp
+# (round 5): the edge estimator only collects signal from rays whose
+# margin lands inside the eps band, so its per-seed variance at the
+# round-4 spp was the dominant error term — the multi-seed report
+# measured sphere_center at 31% +- 30% across seeds at 128 spp (the
+# old single-seed 5.2% was a lucky draw), confirming variance, not
+# bias. 4x spp halves the spread.
 CLASSES = {
     "sphere_center": (_sphere_scene, "sph_center", [(0, 0), (0, 2)],
-                      SPHERE_EPS, (0.01, 0.02), (1.0, 3)),
+                      SPHERE_EPS, (0.01, 0.02), (4.0, 3)),
     "sphere_radius": (_sphere_scene, "sph_radius", [(0,)],
                       SPHERE_EPS, (0.01, 0.02), (1.0, 3)),
     "triangle_vertex": (_triangle_scene, "tri_b", [(0, 1), (0, 0)],
-                        TRI_EPS, (0.02, 0.03), (0.25, 2)),
+                        TRI_EPS, (0.02, 0.03), (1.0, 2)),
     "albedo": (_material_scene, "tex_color", [(0, 0), (0, 1)],
                SPHERE_EPS, (2e-3,), (0.5, 4)),
     "ior": (_material_scene, "mat_ior", [(2,)],
             SPHERE_EPS, (0.01, 0.02), (2.0, 4)),
     "camera_pose": (_sphere_scene, None, [(0,), (1,)],
-                    SPHERE_EPS, (0.01, 0.02), (1.0, 3)),
+                    SPHERE_EPS, (0.01, 0.02), (4.0, 3)),
 }
 
 

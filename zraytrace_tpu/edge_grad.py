@@ -81,7 +81,7 @@ _SCREEN = _os.environ.get("ZRAYTRACE_EDGE_SCREEN", "0") == "1"
 
 
 def silhouette_margin(scene: Scene, o, d, h, t_min=1e-3,
-                      tri_chunk: int = 512):
+                      tri_chunk: int = 512, screen: bool | None = None):
     """Signed relative silhouette margin per ray plus the occlusion
     (second-hit) margin and the near-miss margin: returns ``(margin
     (N,), occ_margin (N,), near_margin (N,))``.
@@ -111,6 +111,7 @@ def silhouette_margin(scene: Scene, o, d, h, t_min=1e-3,
     can differ from ``h['t']`` by ulps) — a band far narrower than any
     useful ``eps``.
     """
+    screen = _SCREEN if screen is None else bool(screen)
     n = o.shape[0]
     hit = h["hit"]
     # near-misses only matter if their (would-be) intersection lies in
@@ -144,7 +145,7 @@ def silhouette_margin(scene: Scene, o, d, h, t_min=1e-3,
             t = jnp.where(ok1, t1, t2)
             valid = (disc >= 0.0) & (ok1 | ok2)
             better = valid & (t < t_best)
-            if _SCREEN:
+            if screen:
                 # angular margin: geometric limb distance (m * r) over
                 # the candidate's own distance (hit t / tangency point)
                 m_hit_s = m * r / jnp.maximum(jnp.where(valid, t, 1.0),
@@ -197,7 +198,7 @@ def silhouette_margin(scene: Scene, o, d, h, t_min=1e-3,
             vv = -(oxd @ p.e1.T - d @ p.e1xa.T) * inv_det
             tt = (o @ p.fn.T - p.a_dot_fn[None, :]) * inv_det
             m = jnp.minimum(jnp.minimum(uu, vv), 1.0 - uu - vv)
-            if _SCREEN:
+            if screen:
                 # geometric edge distances: barycentric x edge height
                 # (|fn| = 2*Area; height over edge e = |fn| / |e|),
                 # over the candidate's own distance -> angular margin
@@ -222,7 +223,7 @@ def silhouette_margin(scene: Scene, o, d, h, t_min=1e-3,
             occ = ((det >= DET_EPS) & (m >= 0.0)
                    & (tt > t_excl[:, None]))
             t_near = jnp.min(jnp.where(occ, tt, _BIG), axis=-1)
-            if _SCREEN:
+            if screen:
                 # recover the WINNER's screen margin (the hit dict has
                 # only uv): the interior candidate whose t matches the
                 # ray's winner within the 1e-5 relative guard
@@ -236,7 +237,7 @@ def silhouette_margin(scene: Scene, o, d, h, t_min=1e-3,
         miss_margin, t_occ, m_win_scr = jax.lax.fori_loop(
             0, n_chunks, body,
             (miss_margin, t_occ, jnp.full((n,), -jnp.inf)))
-        if _SCREEN:
+        if screen:
             # fall back to the relative margin if the guard missed
             # (ulp-level t mismatch): better a slightly off scale than
             # a -inf margin
@@ -273,7 +274,7 @@ OCC_EPS_SCALE = 0.125
 
 def edge_factor(scene: Scene, o, d, h, eps=DEFAULT_EDGE_EPS,
                 t_min=1e-3, occlusion: bool = True, eps_scale=None,
-                occ_weight=None):
+                occ_weight=None, screen: bool | None = None):
     """Per-ray multiplicative factor: exactly 1.0 forward, silhouette +
     occlusion gradients backward. Multiply into path throughput each
     bounce.
@@ -300,7 +301,8 @@ def edge_factor(scene: Scene, o, d, h, eps=DEFAULT_EDGE_EPS,
     whole boundary (the ior "lensed ring" gap, PERF.md round 4). The
     widened band trades O(eps * amp) smoothing bias for actually
     sampling the boundary, the same trade the FD pairing makes."""
-    m, m_occ, m_near = silhouette_margin(scene, o, d, h, t_min=t_min)
+    m, m_occ, m_near = silhouette_margin(scene, o, d, h, t_min=t_min,
+                                         screen=screen)
     eps_list = tuple(eps) if isinstance(eps, (tuple, list)) else (eps,)
     scale = 1.0 if eps_scale is None else jax.lax.stop_gradient(eps_scale)
     log_w = jnp.zeros_like(m)

@@ -50,7 +50,8 @@ def image_loss(img, target):
 
 
 def make_loss_fn(static, camera, target, width, height, spp, max_depth,
-                 seed=42, edge_eps=None, tri_order=None):
+                 seed=42, edge_eps=None, tri_order=None,
+                 edge_screen: bool | None = None):
     """Single-device differentiable loss over the full image.
 
     ``edge_eps`` enables edge-aware silhouette gradients (edge_grad.py):
@@ -82,6 +83,7 @@ def make_loss_fn(static, camera, target, width, height, spp, max_depth,
                    if isinstance(eps, (tuple, list)) else eps * eps_scale)
         img = render_diff(scene, camera, width, height, spp, max_depth,
                           seed=seed, edge_eps=eps, tri_flash=tf,
+                          edge_screen=edge_screen,
                           mesh_fast=True if tf is not None else None)
         return image_loss(img, target)
 
@@ -141,6 +143,7 @@ def fit(
     checkpoint_every: int = 10,
     edge_eps=None,
     coarse_to_fine: float = 1.0,
+    edge_screen: bool | None = None,
 ) -> FitResult:
     """Gradient-descend scene parameters toward a target image.
 
@@ -174,6 +177,18 @@ def fit(
     params, static = split_scene(scene_init)
     target = jnp.asarray(target, jnp.float32)
 
+    # Differentiate ONLY the optimized leaves (round 5): frozen leaves
+    # close over the loss as constants, so their adjoints are never
+    # built. This is not just tidiness — the (A,H,W,3) atlas adjoint
+    # is a scatter-add per bilinear tap per bounce, measured at ~70%
+    # of the whole sphere-albedo fit step on the v5e
+    # (tools/diff_decomp.py, PERF.md round 5); a geometry/color fit
+    # that doesn't move atlas texels must not pay it.
+    live = set(optimize_fields) | set(fd_fields)
+    frozen = {f: v for f, v in params.items() if f not in live}
+    params = {f: v for f, v in params.items() if f in live}
+    static = {**static, **frozen}
+
     # Freeze non-optimized leaves with a masked optimizer.
     mask = {f: (f in optimize_fields) for f in params}
     optimizer = optax.chain(
@@ -193,7 +208,7 @@ def fit(
                                   scene_init.tri_c).prim_order
     loss_fn = make_loss_fn(static, camera, target, width, height, spp,
                            max_depth, seed, edge_eps=edge_eps,
-                           tri_order=tri_order)
+                           tri_order=tri_order, edge_screen=edge_screen)
     loss_jit = jax.jit(loss_fn)
     vg_jit = jax.jit(jax.value_and_grad(loss_fn))
 
@@ -222,6 +237,7 @@ def fit(
             extra=(width, height, spp, max_depth, seed, learning_rate,
                    tuple(sorted(optimize_fields)), tuple(sorted(fd_fields)),
                    float(coarse_to_fine), repr(edge_eps),
+                   repr(edge_screen),
                    int(steps) if sched_on else -1),
         )
         resumed = load_fit_checkpoint(checkpoint_path, params, opt_state, fp)

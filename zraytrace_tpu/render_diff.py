@@ -53,6 +53,7 @@ def trace_paths(
     tri_flash=None,
     branch_grad: bool = False,
     score_baseline=None,
+    edge_screen: bool | None = None,
 ):
     """Radiance of one path per lane, ``(N, 3)``.
 
@@ -152,7 +153,7 @@ def trace_paths(
             f = edge_factor(scene, state["o"], state["d"], h, edge_eps,
                             occlusion=occ_on,
                             eps_scale=state.get("amp"),
-                            occ_weight=occ_w)
+                            occ_weight=occ_w, screen=edge_screen)
             throughput = throughput * jnp.where(
                 state["alive"], f, 1.0)[:, None]
         rnd = zrng.uniform4(seed, pixel_ids, sample_ids, depth_idx, zrng.STREAM_SCATTER)
@@ -232,6 +233,7 @@ def render_diff(
     mesh_fast: bool | None = None,
     tri_flash=None,
     branch_grad: bool = True,
+    edge_screen: bool | None = None,
 ):
     """Differentiable image ``(H, W, 3)``: mean over ``spp`` paths/pixel.
 
@@ -276,6 +278,7 @@ def render_diff(
             edge_eps=edge_eps, edge_occlusion=edge_occlusion,
             mesh_fast=mesh_fast, tri_flash=tri_flash,
             branch_grad=branch_grad, score_baseline=b,
+            edge_screen=edge_screen,
         )
         return (total + r, stop_total + jax.lax.stop_gradient(r),
                 count + 1.0), None

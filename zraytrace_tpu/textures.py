@@ -19,10 +19,42 @@ is identical on every reference scene.
 
 from __future__ import annotations
 
+import os as _os
+
+import jax
 import jax.numpy as jnp
 
 from zraytrace_tpu import scene as sc
 from zraytrace_tpu.geometry.sphere import onehot_rows
+
+# Sorted-scatter atlas adjoint (round-5 probe): the bilinear taps'
+# gather adjoint is a scatter-add whose measured cost (~41 ns/row on
+# the v5e, tools/diff_decomp.py) dominates the whole fit step. This
+# custom-vjp wrapper sorts the tap indices in the backward pass and
+# scatters with indices_are_sorted=True (sort of N*4 keys is ~free at
+# fit sizes). Gradient VALUES are identical up to f32 add order.
+_SORTED_SCATTER = _os.environ.get("ZRAYTRACE_TEX_SORTED_SCATTER",
+                                  "0") == "1"
+
+
+@jax.custom_vjp
+def _gather_rows(table, flat_idx):
+    return table[flat_idx]
+
+
+def _gather_rows_fwd(table, flat_idx):
+    return table[flat_idx], (table.shape, flat_idx)
+
+
+def _gather_rows_bwd(res, ct):
+    shape, flat_idx = res
+    order = jnp.argsort(flat_idx)
+    d = jnp.zeros(shape, ct.dtype).at[flat_idx[order]].add(
+        ct[order], indices_are_sorted=True, unique_indices=False)
+    return d, None
+
+
+_gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
 
 
 def _wrap(x):
@@ -109,10 +141,13 @@ def texture_albedo(scene: sc.Scene, tex_id: jnp.ndarray, uv: jnp.ndarray,
         xi = jnp.clip(xs, 0.0, (w - 1.0)[:, None]).astype(jnp.int32)
         yi = jnp.clip(ys, 0.0, (h - 1.0)[:, None]).astype(jnp.int32)
         flat4 = base.astype(jnp.int32)[:, None] + yi * atlas_w + xi
-        # gather through a FLAT (N*4,) index: the (N,4)-indexed form
-        # lowers its scatter adjoint an order of magnitude slower on
-        # TPU than the 1-D-indexed form (tools/diff_decomp.py round 5)
-        c = flat_atlas[flat4.reshape(-1)].reshape(flat4.shape + (3,))
+        # gather through a FLAT (N*4,) index; optionally through the
+        # sorted-scatter custom-vjp wrapper (_SORTED_SCATTER above)
+        if _SORTED_SCATTER:
+            c = _gather_rows(flat_atlas, flat4.reshape(-1)).reshape(
+                flat4.shape + (3,))
+        else:
+            c = flat_atlas[flat4.reshape(-1)].reshape(flat4.shape + (3,))
         img_color = (
             c[:, 0] * (1 - tx) * (1 - ty)
             + c[:, 1] * tx * (1 - ty)
