@@ -55,7 +55,7 @@ def _sphere_scene():
 
     b = sc.SceneBuilder()
     red = b.add_lambertian_color((0.8, 0.1, 0.1))
-    b.add_sphere((0.0, 0.0, 5.0), 1.0, red)
+    b.add_sphere((0.45, 0.3, 5.0), 1.0, red)
     lf = np.array([0.0, 0.0, -2.0], np.float32)
     cam = make_camera(lf, (0.0, 0.0, 1.0), (0.0, 1.0, 0.0), 45.0, 1.0)
     return b.build(), cam, lf
@@ -118,6 +118,20 @@ CLASSES = {
                     SPHERE_EPS, (0.01, 0.02), (4.0, 3)),
 }
 
+# Rendered-target shifts (round 5): an L2 loss against a CONSTANT
+# target is translation-invariant, so lateral derivatives (center x,
+# pose x/y) are ~0 no matter where the sphere sits — their "relative
+# error" was noise over the scale floor (center x measured |fd| 25x
+# below z; two seeds read 60-100%). Classes probing lateral components
+# render their target at SHIFTED parameters instead (an independent
+# seed), giving every probed component an O(1) pull — the same
+# construction as the recovery examples. Radius/albedo/ior/vertex keep
+# the zero target (their derivatives are O(1) against it already).
+TARGET_SHIFT = {
+    "sphere_center": (0.25, 0.1, -0.35),
+    "camera_pose": (0.2, -0.15, 0.0),
+}
+
 
 PASS_THRESHOLD = 0.10  # stated bar: per-class mean_rel_error <= 10%
 
@@ -178,8 +192,27 @@ def compute_report(width=64, height=64, spp=128, seed=42, verbose=True,
         scene, camera, look_from = build()
         params, static = split_scene(scene)
         cspp = max(2, int(round(spp * sppf)))
-        target = jnp.zeros((height, width, 3), jnp.float32)
         lf = jnp.asarray(look_from)
+        shift = TARGET_SHIFT.get(name)
+        if shift is None:
+            target = jnp.zeros((height, width, 3), jnp.float32)
+        else:
+            # rendered target at shifted parameters (TARGET_SHIFT
+            # docstring); independent seed so target noise does not
+            # correlate with the probe streams
+            dv = jnp.asarray(shift, jnp.float32)
+            if field is None:
+                p_t, lf_t = params, lf + dv
+            else:
+                p_t = dict(params)
+                p_t[field] = params[field] + dv[None, :]
+                lf_t = lf
+            cam_t = make_camera(lf_t, (0, 0, 1.0), (0, 1.0, 0),
+                                45.0, 1.0)
+            target = jax.lax.stop_gradient(jax.jit(
+                lambda p, c: render_diff(
+                    merge_scene(p, static), c, width, height, cspp,
+                    depth, seed=seed + 9999))(p_t, cam_t))
 
         # the Fresnel-branch score estimator (materials.scatter
         # branch_grad) defaults ON since round 4: it is variance-
