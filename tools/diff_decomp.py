@@ -37,6 +37,95 @@ sys.path.insert(0, ".")
 import numpy as np
 
 
+def teapot_decomp(args):
+    """Decompose the teapot_pose_fit step (DIFF_BENCH: 311 ms): the
+    trace itself rides the flash winner pass, but edge_factor's
+    silhouette/near-miss margins brute-chunk ALL 6320 triangles per
+    bounce — the prime suspect."""
+    import jax
+    import jax.numpy as jnp
+
+    from zraytrace_tpu import scene as sc
+    from zraytrace_tpu.camera import make_camera
+    from zraytrace_tpu.geometry.bvh import build_tri_bvh
+    from zraytrace_tpu.io.obj import read_obj
+    from zraytrace_tpu.ops.flash_intersect import pack_tri_planes
+    from zraytrace_tpu.render_diff import render_diff
+    from zraytrace_tpu.scene import SceneBuilder
+    from zraytrace_tpu.scenes import assets_dir
+
+    size, spp, depth, seed = 64, 8, 4, 42
+    model = read_obj(assets_dir() / "teapot/teapot.obj")
+    import numpy as _np
+
+    a0, b0, c0 = (_np.asarray(x) for x in model.tri_vertices)
+    bld = SceneBuilder()
+    green = bld.add_lambertian_color(sc.COLOR_GREEN)
+    bld.add_sphere((0.0, -102.33, 7.0), 100.0, green)
+    red = bld.add_lambertian_color((0.7, 0.15, 0.1))
+    bld.add_triangles(a0, b0, c0, red)
+    base = bld.build()
+    camera = make_camera((0.0, 3.0, -9.0), (0.0, 1.0, 5.0),
+                         (0.0, 1.0, 0.0), 50.0, 1.0)
+    order = build_tri_bvh(base.tri_a, base.tri_b, base.tri_c).prim_order
+
+    def image_at(off, edge, occ=False, screen=None):
+        scene = base._replace(tri_a=base.tri_a + off,
+                              tri_b=base.tri_b + off,
+                              tri_c=base.tri_c + off)
+        tf = pack_tri_planes(scene.tri_a, scene.tri_b, scene.tri_c,
+                             order=order)
+        return render_diff(scene, camera, size, size, spp, depth,
+                           seed=seed, mesh_fast=True, tri_flash=tf,
+                           edge_eps=edge, edge_occlusion=occ,
+                           edge_screen=screen)
+
+    target = jax.lax.stop_gradient(
+        image_at(jnp.zeros((3,), jnp.float32), None))
+
+    def make_loss(edge, occ=False, screen=None):
+        def loss(off):
+            return jnp.mean((image_at(off, edge, occ, screen)
+                             - target) ** 2)
+        return loss
+
+    def timed(fn, arg):
+        jfn = jax.jit(fn)
+        t0 = time.time()
+        out = jfn(arg)
+        _ = float(np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0])
+        compile_s = time.time() - t0
+        t0 = time.time()
+        for _i in range(args.steps):
+            out = jfn(arg)
+        _ = float(np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0])
+        return compile_s, (time.time() - t0) / args.steps
+
+    off0 = jnp.asarray([0.25, -0.18, 0.22], jnp.float32)
+    variants = [
+        ("value_only", make_loss((0.015, 0.03))),
+        ("full", jax.value_and_grad(make_loss((0.015, 0.03)))),
+        ("no_edge", jax.value_and_grad(make_loss(None))),
+        ("one_eps", jax.value_and_grad(make_loss(0.015))),
+        ("occl_on", jax.value_and_grad(make_loss((0.015, 0.03),
+                                                 occ="camera"))),
+        ("screen", jax.value_and_grad(make_loss((5e-4, 1e-3),
+                                                screen=True))),
+    ]
+    out = {}
+    for name, fn in variants:
+        try:
+            compile_s, step_s = timed(fn, off0)
+            out[name] = dict(step_seconds=round(step_s, 4),
+                             compile_seconds=round(compile_s, 1))
+            print(f"{name:14s} {step_s * 1e3:8.1f} ms/step "
+                  f"(compile {compile_s:.1f}s)", flush=True)
+        except Exception as e:
+            out[name] = dict(error=str(e)[:200])
+            print(f"{name:14s} ERROR {str(e)[:120]}", flush=True)
+    print(json.dumps(out))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
@@ -44,6 +133,7 @@ def main():
     ap.add_argument("--spp", type=int, default=8)
     ap.add_argument("--depth", type=int, default=10)
     ap.add_argument("--steps", type=int, default=5)
+    ap.add_argument("--teapot", action="store_true")
     args = ap.parse_args()
     if args.cpu:
         import jax
@@ -52,6 +142,8 @@ def main():
     from zraytrace_tpu.runtime import enable_compilation_cache
 
     enable_compilation_cache()
+    if args.teapot:
+        return teapot_decomp(args)
     import jax
     import jax.numpy as jnp
 

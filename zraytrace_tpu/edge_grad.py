@@ -234,15 +234,140 @@ def silhouette_margin(scene: Scene, o, d, h, t_min=1e-3,
                 mwin = jnp.maximum(mwin, m_w)
             return jnp.maximum(mm, m_near), jnp.minimum(tocc, t_near), mwin
 
-        miss_margin, t_occ, m_win_scr = jax.lax.fori_loop(
-            0, n_chunks, body,
-            (miss_margin, t_occ, jnp.full((n,), -jnp.inf)))
-        if screen:
-            # fall back to the relative margin if the guard missed
-            # (ulp-level t mismatch): better a slightly off scale than
-            # a -inf margin
-            margin_hit_tri = jnp.where(
-                m_win_scr > -jnp.inf, m_win_scr, margin_hit_tri)
+        # SELECT-RECOMPUTE (round 5): the brute chunk loop above is
+        # O(rays x triangles) PER BOUNCE and its reverse-mode transpose
+        # dominated the teapot pose fit (~92% of the step,
+        # tools/diff_decomp.py --teapot). But the gradient of a max
+        # (near-miss margin) / min (occlusion t) flows only through the
+        # ARG element — so at mesh scale the loop runs once under
+        # stop_gradient tracking ARGMAX/ARGMIN indices, and the margin
+        # is recomputed differentiably for just the selected triangle
+        # per ray (the winner-recompute pattern of diff_trace). Values
+        # are identical (same selected triangle, same formulas);
+        # gradients are identical because max/min subgradients already
+        # flow through the arg alone.
+        sel_env = _os.environ.get("ZRAYTRACE_EDGE_SELECT", "auto")
+        sel_mode = (T >= 64 if sel_env == "auto" else sel_env == "1")
+        if sel_mode:
+            sg = jax.lax.stop_gradient
+
+            def body_sel(i, carry):
+                mm, mi, tocc, ti_, mw, wi = carry
+                p = jax.tree_util.tree_map(lambda x: sg(x[i]), pack_r)
+                o_, d_, oxd_ = sg(o), sg(d), sg(oxd)
+                det = -(d_ @ p.fn.T)
+                safe = jnp.abs(det) > 1e-12
+                inv_det = 1.0 / jnp.where(safe, det, 1.0)
+                uu = (oxd_ @ p.e2.T - d_ @ p.e2xa.T) * inv_det
+                vv = -(oxd_ @ p.e1.T - d_ @ p.e1xa.T) * inv_det
+                tt = (o_ @ p.fn.T - p.a_dot_fn[None, :]) * inv_det
+                m = jnp.minimum(jnp.minimum(uu, vv), 1.0 - uu - vv)
+                if screen:
+                    fl = jnp.sqrt(jnp.sum(p.fn * p.fn, -1))
+                    hu = fl / jnp.maximum(
+                        jnp.sqrt(jnp.sum(p.e2 * p.e2, -1)), 1e-12)
+                    hv = fl / jnp.maximum(
+                        jnp.sqrt(jnp.sum(p.e1 * p.e1, -1)), 1e-12)
+                    ew = p.e2 - p.e1
+                    hw = fl / jnp.maximum(
+                        jnp.sqrt(jnp.sum(ew * ew, -1)), 1e-12)
+                    m_s = jnp.minimum(
+                        jnp.minimum(uu * hu[None, :], vv * hv[None, :]),
+                        (1.0 - uu - vv) * hw[None, :],
+                    ) / jnp.maximum(jnp.abs(tt), t_min)
+                else:
+                    m_s = m
+                near = ((det >= DET_EPS) & (tt > t_min)
+                        & (tt < sg(t_cap)[:, None]) & (m < 0.0))
+                mloc = jnp.where(near, m_s, -jnp.inf)
+                aj = jnp.argmax(mloc, axis=-1)
+                av = jnp.take_along_axis(mloc, aj[:, None], -1)[:, 0]
+                bet = av > mm
+                mm = jnp.where(bet, av, mm)
+                mi = jnp.where(bet, i * tri_chunk + aj, mi)
+                occ = ((det >= DET_EPS) & (m >= 0.0)
+                       & (tt > sg(t_excl)[:, None]))
+                tloc = jnp.where(occ, tt, _BIG)
+                oj = jnp.argmin(tloc, axis=-1)
+                ov = jnp.take_along_axis(tloc, oj[:, None], -1)[:, 0]
+                bet2 = ov < tocc
+                tocc = jnp.where(bet2, ov, tocc)
+                ti_ = jnp.where(bet2, i * tri_chunk + oj, ti_)
+                if screen:
+                    winm = ((det >= DET_EPS) & (m >= 0.0)
+                            & (tt > t_min) & (tt <= sg(t_excl)[:, None])
+                            & (tt >= (sg(t_first)
+                                      * (1.0 - 1e-5))[:, None]))
+                    wloc = jnp.where(winm, m_s, -jnp.inf)
+                    wj = jnp.argmax(wloc, axis=-1)
+                    wv = jnp.take_along_axis(wloc, wj[:, None], -1)[:, 0]
+                    bet3 = wv > mw
+                    mw = jnp.where(bet3, wv, mw)
+                    wi = jnp.where(bet3, i * tri_chunk + wj, wi)
+                return mm, mi, tocc, ti_, mw, wi
+
+            neg1 = jnp.full((n,), -1, jnp.int32)
+            ninf = jnp.full((n,), -jnp.inf)
+            _, mi, _, ti_, _, wi = jax.lax.fori_loop(
+                0, n_chunks, body_sel,
+                (ninf, neg1, jnp.full((n,), _BIG), neg1, ninf, neg1))
+
+            def recompute(idx):
+                """Differentiable margin of ONE selected triangle per
+                ray — same formulas as the brute loop, row-wise."""
+                j = jnp.maximum(idx, 0)
+                fn = pack.fn[j]
+                e1 = pack.e1[j]
+                e2 = pack.e2[j]
+                e2xa = pack.e2xa[j]
+                e1xa = pack.e1xa[j]
+                adf = pack.a_dot_fn[j]
+                det = -jnp.sum(d * fn, -1)
+                safe = jnp.abs(det) > 1e-12
+                inv_det = 1.0 / jnp.where(safe, det, 1.0)
+                uu = (jnp.sum(oxd * e2, -1)
+                      - jnp.sum(d * e2xa, -1)) * inv_det
+                vv = -(jnp.sum(oxd * e1, -1)
+                       - jnp.sum(d * e1xa, -1)) * inv_det
+                tt = (jnp.sum(o * fn, -1) - adf) * inv_det
+                if screen:
+                    fl = jnp.sqrt(jnp.sum(fn * fn, -1))
+                    hu = fl / jnp.maximum(
+                        jnp.sqrt(jnp.sum(e2 * e2, -1)), 1e-12)
+                    hv = fl / jnp.maximum(
+                        jnp.sqrt(jnp.sum(e1 * e1, -1)), 1e-12)
+                    ew = e2 - e1
+                    hw = fl / jnp.maximum(
+                        jnp.sqrt(jnp.sum(ew * ew, -1)), 1e-12)
+                    m_s = jnp.minimum(
+                        jnp.minimum(uu * hu, vv * hv),
+                        (1.0 - uu - vv) * hw,
+                    ) / jnp.maximum(jnp.abs(tt), t_min)
+                else:
+                    m_s = jnp.minimum(jnp.minimum(uu, vv),
+                                      1.0 - uu - vv)
+                return m_s, tt
+
+            m_near_t, _ = recompute(mi)
+            miss_margin = jnp.maximum(
+                miss_margin, jnp.where(mi >= 0, m_near_t, -jnp.inf))
+            _, t_occ_t = recompute(ti_)
+            t_occ = jnp.minimum(
+                t_occ, jnp.where(ti_ >= 0, t_occ_t, _BIG))
+            if screen:
+                m_win_t, _ = recompute(wi)
+                margin_hit_tri = jnp.where(
+                    wi >= 0, m_win_t, margin_hit_tri)
+        else:
+            miss_margin, t_occ, m_win_scr = jax.lax.fori_loop(
+                0, n_chunks, body,
+                (miss_margin, t_occ, jnp.full((n,), -jnp.inf)))
+            if screen:
+                # fall back to the relative margin if the guard missed
+                # (ulp-level t mismatch): better a slightly off scale
+                # than a -inf margin
+                margin_hit_tri = jnp.where(
+                    m_win_scr > -jnp.inf, m_win_scr, margin_hit_tri)
     else:
         margin_hit_tri = jnp.zeros((n,), jnp.float32)
 
