@@ -311,6 +311,16 @@ def silhouette_margin(scene: Scene, o, d, h, t_min=1e-3,
             _, mi, _, ti_, _, wi = jax.lax.fori_loop(
                 0, n_chunks, body_sel,
                 (ninf, neg1, jnp.full((n,), _BIG), neg1, ninf, neg1))
+            # name the indices so render_diff's remat policy can SAVE
+            # them: without this the bounce checkpoint re-runs the
+            # whole selection scan in the backward pass (the scan is
+            # the dominant forward term at mesh scale; the indices are
+            # 3 small i32 planes)
+            from jax.ad_checkpoint import checkpoint_name
+
+            mi = checkpoint_name(mi, "edge_sel_idx")
+            ti_ = checkpoint_name(ti_, "edge_sel_idx")
+            wi = checkpoint_name(wi, "edge_sel_idx")
 
             def recompute(idx):
                 """Differentiable margin of ONE selected triangle per

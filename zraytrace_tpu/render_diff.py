@@ -203,7 +203,14 @@ def trace_paths(
         return new_state, None
 
     if remat:
-        bounce = jax.checkpoint(bounce)
+        # save the edge-selection indices across the checkpoint (tiny
+        # i32 planes, tagged in edge_grad) so the backward pass does
+        # not re-run the O(rays x triangles) selection scan; everything
+        # else rematerializes as before
+        bounce = jax.checkpoint(
+            bounce,
+            policy=jax.checkpoint_policies.save_only_these_names(
+                "edge_sel_idx"))
     final, _ = jax.lax.scan(bounce, init, jnp.arange(max_depth, dtype=jnp.int32))
     # Paths still alive after max_depth bounces contribute black
     # (raytrace.zig:64-67) — radiance already excludes them.
