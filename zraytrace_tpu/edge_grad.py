@@ -81,7 +81,8 @@ _SCREEN = _os.environ.get("ZRAYTRACE_EDGE_SCREEN", "0") == "1"
 
 
 def silhouette_margin(scene: Scene, o, d, h, t_min=1e-3,
-                      tri_chunk: int = 512, screen: bool | None = None):
+                      tri_chunk: int = 512, screen: bool | None = None,
+                      tri_flash=None):
     """Signed relative silhouette margin per ray plus the occlusion
     (second-hit) margin and the near-miss margin: returns ``(margin
     (N,), occ_margin (N,), near_margin (N,))``.
@@ -216,6 +217,15 @@ def silhouette_margin(scene: Scene, o, d, h, t_min=1e-3,
                 ) / jnp.maximum(jnp.abs(tt), t_min)
             else:
                 m_s = m
+            # NOTE tt < t_cap is deliberate (round-5 measured): a
+            # 1e-5 guard symmetric to the occlusion one was tried and
+            # REVERTED — candidates at tt ~ t_cap include genuine
+            # contact-line silhouettes (an occluder edge against the
+            # surface right behind it, e.g. the teapot spout at
+            # mid-range), and excluding them dropped the pose-grad
+            # cosine 0.92 -> 0.65. The cost is an f32-borderline
+            # class: brute/flash selection can disagree on winner-
+            # adjacent candidates (documented in the flash kernel).
             near = ((det >= DET_EPS) & (tt > t_min)
                     & (tt < t_cap[:, None]) & (m < 0.0))
             m_near = jnp.max(jnp.where(near, m_s, -jnp.inf), axis=-1)
@@ -248,6 +258,18 @@ def silhouette_margin(scene: Scene, o, d, h, t_min=1e-3,
         # flow through the arg alone.
         sel_env = _os.environ.get("ZRAYTRACE_EDGE_SELECT", "auto")
         sel_mode = (T >= 64 if sel_env == "auto" else sel_env == "1")
+        # FLASH margin selection (round 5): with the original-id flash
+        # planes available (the diff winner pass packs them anyway),
+        # the selection runs as one RL Pallas sweep with SMEM chunk
+        # work lists instead of the dense O(rays x triangles) XLA
+        # matmul scan — same argmax/argmin candidates (reachability is
+        # a superset within (t_min, 2*t_cap]; beyond-2x occlusion
+        # candidates have saturated sigmoids), only tie-break order
+        # can differ.
+        _flash_env = _os.environ.get("ZRAYTRACE_EDGE_FLASH", "auto")
+        use_flash_sel = (sel_mode and tri_flash is not None
+                         and getattr(tri_flash, "attrs", 1) is None
+                         and n % 128 == 0 and _flash_env != "0")
         if sel_mode:
             sg = jax.lax.stop_gradient
 
@@ -306,11 +328,22 @@ def silhouette_margin(scene: Scene, o, d, h, t_min=1e-3,
                     wi = jnp.where(bet3, i * tri_chunk + wj, wi)
                 return mm, mi, tocc, ti_, mw, wi
 
-            neg1 = jnp.full((n,), -1, jnp.int32)
-            ninf = jnp.full((n,), -jnp.inf)
-            _, mi, _, ti_, _, wi = jax.lax.fori_loop(
-                0, n_chunks, body_sel,
-                (ninf, neg1, jnp.full((n,), _BIG), neg1, ninf, neg1))
+            if use_flash_sel:
+                from zraytrace_tpu.ops.flash_intersect import (
+                    flash_margin_select,
+                )
+
+                tf_sg = jax.tree_util.tree_map(sg, tri_flash)
+                mi, ti_, wi = flash_margin_select(
+                    tf_sg, sg(o), sg(d), sg(t_cap), t_min)
+                if not screen:
+                    wi = jnp.full((n,), -1, jnp.int32)  # uv margin used
+            else:
+                neg1 = jnp.full((n,), -1, jnp.int32)
+                ninf = jnp.full((n,), -jnp.inf)
+                _, mi, _, ti_, _, wi = jax.lax.fori_loop(
+                    0, n_chunks, body_sel,
+                    (ninf, neg1, jnp.full((n,), _BIG), neg1, ninf, neg1))
             # name the indices so render_diff's remat policy can SAVE
             # them: without this the bounce checkpoint re-runs the
             # whole selection scan in the backward pass (the scan is
@@ -409,7 +442,8 @@ OCC_EPS_SCALE = 0.125
 
 def edge_factor(scene: Scene, o, d, h, eps=DEFAULT_EDGE_EPS,
                 t_min=1e-3, occlusion: bool = True, eps_scale=None,
-                occ_weight=None, screen: bool | None = None):
+                occ_weight=None, screen: bool | None = None,
+                tri_flash=None):
     """Per-ray multiplicative factor: exactly 1.0 forward, silhouette +
     occlusion gradients backward. Multiply into path throughput each
     bounce.
@@ -437,7 +471,8 @@ def edge_factor(scene: Scene, o, d, h, eps=DEFAULT_EDGE_EPS,
     widened band trades O(eps * amp) smoothing bias for actually
     sampling the boundary, the same trade the FD pairing makes."""
     m, m_occ, m_near = silhouette_margin(scene, o, d, h, t_min=t_min,
-                                         screen=screen)
+                                         screen=screen,
+                                         tri_flash=tri_flash)
     eps_list = tuple(eps) if isinstance(eps, (tuple, list)) else (eps,)
     scale = 1.0 if eps_scale is None else jax.lax.stop_gradient(eps_scale)
     log_w = jnp.zeros_like(m)

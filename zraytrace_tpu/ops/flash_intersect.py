@@ -867,6 +867,191 @@ def _flash_rl(planes: TriPlanes, o, d, t_min, ti, reach_cap=None,
     return t, idx, hit, uv
 
 
+def _kernel_rl_margins(planes_ref, ox_ref, oy_ref, oz_ref, dx_ref,
+                       dy_ref, dz_ref, tc_ref, tmin_ref, wl_in, nw_ref,
+                       out_ref, use_cols=False):
+    """Silhouette-margin SELECTION kernel (round 5): per ray, find
+
+    - the NEAR-MISS argmax: the triangle with the largest (negative)
+      barycentric margin among valid front crossings in (t_min, t_cap),
+    - the OCCLUSION argmin: the interior crossing with the smallest t
+      strictly behind the winner (t > t_cap * (1 + 1e-5)),
+    - the WINNER id: the interior crossing matching t_cap within the
+      1e-5 relative guard,
+
+    as ORIGINAL triangle ids (+ sentinel -1). Same RL layout and
+    per-visit math as _kernel_rl; all inputs are stop-gradded by the
+    caller — edge_grad recomputes the margins differentiably on the
+    selected triangles only (PERF.md round 5: the brute selection scan
+    was 50% of the teapot fit step). t_cap rides per ray (BIG on miss
+    rays, which therefore select no occlusion/winner candidates)."""
+    t_min = tmin_ref[0]
+    row = lambda r: r[0, 0, :][None, :]
+    ox, oy, oz = row(ox_ref), row(oy_ref), row(oz_ref)
+    dx, dy, dz = row(dx_ref), row(dy_ref), row(dz_ref)
+    tcap = row(tc_ref)
+    texcl = tcap * (1.0 + 1e-5)
+    tlow = tcap * (1.0 - 1e-5)
+    pxv = oy * dz - oz * dy
+    pyv = oz * dx - ox * dz
+    pzv = ox * dy - oy * dx
+
+    shape = (LANE, LANE)
+    NEG = jnp.float32(-3.4e38)
+    BIG = jnp.float32(3.4e38)
+    n_work = nw_ref[0, 0, 0]
+
+    def work_body(carry):
+        i, mb, nib, tob, oib, twb, wib = carry
+        ci = wl_in[0, 0, i]
+        if use_cols:
+            blk_t = planes_ref[ci]
+        else:
+            blk_t = planes_ref[:, ci, :].T
+        pr = lambda k: blk_t[:, k:k + 1]
+        e1x, e1y, e1z = pr(0), pr(1), pr(2)
+        e2x, e2y, e2z = pr(3), pr(4), pr(5)
+        fnx, fny, fnz = pr(6), pr(7), pr(8)
+        qax, qay, qaz = pr(9), pr(10), pr(11)
+        rax, ray_, raz = pr(12), pr(13), pr(14)
+        adf = pr(15)
+        oid = pr(17)
+
+        det = -(dx * fnx + dy * fny + dz * fnz)
+        safe = jnp.abs(det) > 1e-12
+        inv_det = 1.0 / jnp.where(safe, det, 1.0)
+        u = (pxv * e2x + pyv * e2y + pzv * e2z
+             - (dx * qax + dy * qay + dz * qaz)) * inv_det
+        v = -(pxv * e1x + pyv * e1y + pzv * e1z
+              - (dx * rax + dy * ray_ + dz * raz)) * inv_det
+        t = (ox * fnx + oy * fny + oz * fnz - adf) * inv_det
+        m = jnp.minimum(jnp.minimum(u, v), 1.0 - u - v)
+        ok = det >= DET_EPS
+        # t < tcap (NOT a 1e-5-guarded shell — a guard was tried
+        # and reverted, edge_grad near-mask note): contact-line
+        # silhouettes live at t ~ tcap. Winner-adjacent candidates at
+        # f32-borderline t can therefore select differently than the
+        # brute scan (same class as the cross-engine drift).
+        near = ok & (t > t_min) & (t < tcap) & (m < 0.0)
+        mc = jnp.where(near, m, NEG)
+        bet = mc > mb
+        mb = jnp.where(bet, mc, mb)
+        nib = jnp.where(bet, oid + jnp.zeros(shape), nib)
+        occ = ok & (m >= 0.0) & (t > texcl)
+        tc_ = jnp.where(occ, t, BIG)
+        bet2 = tc_ < tob
+        tob = jnp.where(bet2, tc_, tob)
+        oib = jnp.where(bet2, oid + jnp.zeros(shape), oib)
+        win = ok & (m >= 0.0) & (t > t_min) & (t <= texcl) & (t >= tlow)
+        tw = jnp.where(win, t, BIG)
+        bet3 = tw < twb
+        twb = jnp.where(bet3, tw, twb)
+        wib = jnp.where(bet3, oid + jnp.zeros(shape), wib)
+        return i + 1, mb, nib, tob, oib, twb, wib
+
+    fz = lambda v: jnp.full(shape, v, jnp.float32)
+    init = (jnp.int32(0), fz(NEG), fz(-1.0), fz(BIG), fz(-1.0),
+            fz(BIG), fz(-1.0))
+    _, mb, nib, tob, oib, twb, wib = jax.lax.while_loop(
+        lambda c: c[0] < n_work, work_body, init)
+
+    sub_ids = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+
+    def pick_arg(val, ids, red, empty):
+        """Reduce over tri-slot sublanes: the id of the extreme value
+        (lowest sublane on ties); -1 where no candidate qualified."""
+        best = red(val, axis=0, keepdims=True)
+        sel = val == best
+        sub = jnp.min(jnp.where(sel, sub_ids, jnp.int32(LANE)), axis=0,
+                      keepdims=True)
+        sel2 = sub_ids == sub
+        out = jnp.sum(jnp.where(sel2, ids, 0.0), axis=0, keepdims=True)
+        return jnp.where(empty(best), jnp.float32(-1.0), out), best
+
+    near_id, near_m = pick_arg(mb, nib, jnp.max,
+                               lambda b: b <= NEG / 2)
+    occ_id, occ_t = pick_arg(tob, oib, jnp.min,
+                             lambda b: b >= BIG / 2)
+    win_id, win_t = pick_arg(twb, wib, jnp.min,
+                             lambda b: b >= BIG / 2)
+    zr = jnp.zeros((1, LANE), jnp.float32)
+    out_ref[0] = jnp.concatenate(
+        [near_id, occ_id, win_id, near_m, occ_t, win_t, zr, zr], axis=0)
+
+
+def flash_margin_select(planes: TriPlanes, o, d, t_cap, t_min):
+    """Dispatch the margin-selection kernel: returns
+    ``(near_id, occ_id, win_id)`` — (N,) i32 ORIGINAL triangle ids,
+    -1 where no candidate qualified.
+
+    Requires ``planes.attrs is None`` (original-id packing, e.g.
+    diff_trace.pack_for_diff). Reachability uses the window
+    ``(t_min, 2 * t_cap]``: occlusion candidates beyond twice the
+    winner distance have relative margin >= 0.5 — their occlusion
+    sigmoid is saturated flat at every practical bandwidth, so
+    skipping them changes no gradient within f32."""
+    assert planes.attrs is None, "margin selection needs original ids"
+    n = o.shape[0]
+    assert n % LANE == 0, n
+    n_blocks = n // LANE
+    n_chunks = planes.planes.shape[1]
+    cap = jnp.where(t_cap >= jnp.float32(1e30), t_cap,
+                    2.0 * t_cap)
+    # DILATED chunk bounds: a near-MISSING ray can pass entirely
+    # outside the chunk AABB while its barycentric margin is small —
+    # the winner-pass reach test would cull exactly the triangles the
+    # near-miss term needs. Half-extent dilation (+ an absolute floor)
+    # covers every band where the sigmoid is not saturated flat;
+    # farther misses carry ~zero gradient either way, so culling them
+    # matches the brute selection within f32.
+    lo = planes.bounds[:, 0:3]
+    hi = planes.bounds[:, 3:6]
+    pad = 0.5 * (hi - lo) + jnp.float32(1e-3)
+    bounds_d = jnp.concatenate(
+        [lo - pad, hi + pad, planes.bounds[:, 6:8]], axis=1)
+    wl, nw = _ray_chunk_worklists(bounds_d, o, d, cap, t_min,
+                                  n_blocks)
+    wl = wl[:, None, :]
+    nw = nw[:, :, None]
+    use_cols = planes.planes_rl.ndim == 3
+    dense = lambda x: x.reshape(n_blocks, 1, LANE)
+    tmin_arr = jnp.full((1,), t_min, jnp.float32)
+    args = [planes.planes_rl if use_cols else planes.planes,
+            dense(o[:, 0]), dense(o[:, 1]), dense(o[:, 2]),
+            dense(d[:, 0]), dense(d[:, 1]), dense(d[:, 2]),
+            dense(t_cap), tmin_arr, wl, nw]
+
+    def kern(*refs):
+        return _kernel_rl_margins(*refs, use_cols=use_cols)
+
+    row_spec = pl.BlockSpec((1, 1, LANE), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kern,
+        grid=(n_blocks,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]
+        + [row_spec] * 7
+        + [
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, n_chunks), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 8, LANE), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_blocks, 8, LANE), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("parallel",),
+        ),
+        interpret=jax.default_backend() == "cpu",
+    )(*args)
+    flat = lambda k: out[:, k, :].reshape(n)
+    to_id = lambda x: x.astype(jnp.int32)
+    return to_id(flat(0)), to_id(flat(1)), to_id(flat(2))
+
+
 def flash_intersect_triangles(planes: TriPlanes, o, d, t_min, t_init=None):
     """Closest triangle per ray; same contract as intersect_triangles:
     returns (t (N,), idx (N,) i32, hit (N,) bool, uv (N,2)).

@@ -153,7 +153,10 @@ def trace_paths(
             f = edge_factor(scene, state["o"], state["d"], h, edge_eps,
                             occlusion=occ_on,
                             eps_scale=state.get("amp"),
-                            occ_weight=occ_w, screen=edge_screen)
+                            occ_weight=occ_w, screen=edge_screen,
+                            tri_flash=(tri_flash if tri_flash is None
+                                       or tri_flash.attrs is None
+                                       else None))
             throughput = throughput * jnp.where(
                 state["alive"], f, 1.0)[:, None]
         rnd = zrng.uniform4(seed, pixel_ids, sample_ids, depth_idx, zrng.STREAM_SCATTER)
