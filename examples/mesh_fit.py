@@ -29,6 +29,11 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--tris", type=int, default=0,
                     help="optional triangle-count cap (0 = full teapot)")
+    ap.add_argument("--goat", action="store_true",
+                    help="goat-class scene: 5x5 teapot grid, 158k "
+                         "triangles (round 5 — feasible because the "
+                         "winner pass AND the silhouette-margin "
+                         "selection both run as flash sweeps)")
     ap.add_argument("--init", type=float, default=0.5,
                     help="scale of the initial pose offset; far inits "
                          "(>~1) leave the silhouette attraction basin "
@@ -93,10 +98,28 @@ def main():
     green = bld.add_lambertian_color(sc.COLOR_GREEN)
     bld.add_sphere((0.0, -102.33, 7.0), 100.0, green)
     red = bld.add_lambertian_color((0.7, 0.15, 0.1))
-    bld.add_triangles(np.asarray(a0), np.asarray(b0), np.asarray(c0), red)
-    base = bld.build()
-    camera = make_camera((0.0, 3.0, -9.0), (0.0, 1.0, 5.0),
-                         (0.0, 1.0, 0.0), 50.0, 1.0)
+    if args.goat:
+        # the goat-class stand-in (tools/goat_probe.py): 25 teapots
+        a_np, b_np, c_np = (np.asarray(x) for x in (a0, b0, c0))
+        pa, pb, pc = [], [], []
+        for gx in range(5):
+            for gz in range(5):
+                off_g = np.asarray(
+                    [(gx - 2) * 8.0, 0.0, (gz - 2) * 8.0], np.float32)
+                pa.append(a_np + off_g)
+                pb.append(b_np + off_g)
+                pc.append(c_np + off_g)
+        bld.add_triangles(np.concatenate(pa), np.concatenate(pb),
+                          np.concatenate(pc), red)
+        base = bld.build()
+        camera = make_camera((0.0, 8.0, -30.0), (0.0, 0.0, 1.0),
+                             (0.0, 1.0, 0.0), 55.0, 1.0)
+    else:
+        bld.add_triangles(np.asarray(a0), np.asarray(b0),
+                          np.asarray(c0), red)
+        base = bld.build()
+        camera = make_camera((0.0, 3.0, -9.0), (0.0, 1.0, 5.0),
+                             (0.0, 1.0, 0.0), 50.0, 1.0)
 
     # translation preserves relative triangle positions, so the BVH
     # chunk order is computed once and the planes repacked (traced)
