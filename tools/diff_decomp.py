@@ -230,6 +230,19 @@ def main():
         # the atlas-gradient cost (grads differ; timing probe only)
         ("nearest_tex", jax.value_and_grad(make_loss(bilinear=False)),
          params),
+        # the shipped recovery workload (fit() round-5 policy: only
+        # centers/radii/tex_color differentiated) with the spp scan
+        # flattened into lanes — the all-leaves flat variant measured
+        # no-help because the atlas adjoint dominated; restricted it
+        # might not
+        ("flat_restricted", jax.value_and_grad(
+            lambda p: make_loss(flat=True)(dict(
+                p, **{k: static_g.get(k, no_atlas_params.get(k))
+                      for k in params
+                      if k not in ("sph_center", "sph_radius",
+                                   "tex_color")}))),
+         {k: params[k] for k in ("sph_center", "sph_radius",
+                                 "tex_color")}),
     ]
     out = {}
     for name, fn, arg in variants:
