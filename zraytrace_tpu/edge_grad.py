@@ -79,6 +79,13 @@ DEFAULT_EDGE_EPS = 0.01
 # way (the factor is exactly 1.0); only the backward weighting moves.
 _SCREEN = _os.environ.get("ZRAYTRACE_EDGE_SCREEN", "0") == "1"
 
+# Boundary-kernel choice (round 5): "log" (default) is the shipped
+# d log sigma construction; "exact" uses per-side exp(+-2 sigma(z))
+# factors whose backward kernels 2 sigma'(z) integrate to EXACTLY 1
+# per side (the log kernel's integrate to ln 2 — see the normalization
+# note in edge_factor). Measured trade-offs in PERF.md round 5.
+_KERNEL = _os.environ.get("ZRAYTRACE_EDGE_KERNEL", "log")
+
 
 def silhouette_margin(scene: Scene, o, d, h, t_min=1e-3,
                       tri_chunk: int = 512, screen: bool | None = None,
@@ -478,6 +485,23 @@ def edge_factor(scene: Scene, o, d, h, eps=DEFAULT_EDGE_EPS,
     log_w = jnp.zeros_like(m)
     for e0 in eps_list:
         e = e0 * scale
+        if _KERNEL == "exact":
+            # per-side-exact kernels: hit rays +2*sigma(m/e), miss
+            # rays -2*sigma(m_near/e) (m == m_near there), hit rays'
+            # backdrop complement -2*sigma(m_near/e), occlusion
+            # +2*sigma(m_occ/(e*OCC)); backward kernels 2*sigma'
+            # integrate to 1 per side
+            s_hit = 2.0 * jax.nn.sigmoid(m / e)
+            s_near = 2.0 * jax.nn.sigmoid(m_near / e)
+            lg = jnp.where(h["hit"], s_hit - s_near, -s_near)
+            if occlusion:
+                so = 2.0 * jax.nn.sigmoid(m_occ / (e * OCC_EPS_SCALE))
+                occ_lg = jnp.where(h["hit"], so, 0.0)
+                if occ_weight is not None:
+                    occ_lg = occ_lg * occ_weight
+                lg = lg + occ_lg
+            log_w = log_w + lg
+            continue
         w = jax.nn.sigmoid(m / e)
         near_c = jnp.maximum(1.0 - jax.nn.sigmoid(m_near / e), 1e-6)
         # miss rays: m == m_near, factor (1 - w) as before; hit rays:
@@ -496,5 +520,21 @@ def edge_factor(scene: Scene, o, d, h, eps=DEFAULT_EDGE_EPS,
             lg = lg + occ_lg
         log_w = log_w + lg
     log_w = log_w / len(eps_list)
+    # KERNEL NORMALIZATION NOTE (round 5, measured + derived): the
+    # ratio trick backpropagates d log sigma = sigma'/sigma, whose
+    # half-line integrals are ln 2 per side, NOT the 1 an exactly
+    # normalized boundary kernel needs — a 1D pencil integration
+    # confirms each side delivers exactly ln2 x the true boundary
+    # term, and pure-lateral probes measure g/fd = 0.72 ~ ln 2
+    # (black AND red spheres — shading-independent). A global 1/ln2
+    # rescale was tried and REVERTED: single-bounce sky-backed
+    # coverage terms (the radius class) already measure ~0.98 of FD
+    # under THIS kernel — multi-bounce re-crossings and complement
+    # terms compensate non-uniformly, so the constant fixed the
+    # lateral classes (0.72 -> 1.04) while breaking radius
+    # (0.98 -> 1.42). The principled alternative (per-side-exact
+    # exp(+-2 sigma) kernels, ZRAYTRACE_EDGE_KERNEL=exact below) is
+    # measured in PERF.md round 5; the log kernel stays the default
+    # the shipped fits and tests are calibrated on.
     # exactly 0.0 forward (x - x), so exp == 1.0 bit-exactly
     return jnp.exp(log_w - jax.lax.stop_gradient(log_w))
