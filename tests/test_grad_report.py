@@ -30,7 +30,7 @@ def test_grad_report_artifact_fresh():
     """If the committed artifact exists it must satisfy the quality bar
     the round records. Round 5: the probes became honest (rendered
     targets give lateral components O(1) signal), which exposed the
-    sigmoid estimator's boundary-limit-shading bias on the boundary
+    log-sigmoid kernel's ln2-class normalization bias on the boundary
     classes (~15-36%, seed-tight — PERF.md round-5 diagnosis); the
     continuous classes stay tight. The bars encode that split."""
     import json

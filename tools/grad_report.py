@@ -292,11 +292,12 @@ def compute_report(width=64, height=64, spp=128, seed=42, verbose=True,
         "Round 5: boundary classes (sphere_center, camera_pose, "
         "triangle_vertex) are measured against RENDERED targets with "
         "O(1) signal on every probed component; their ~15-35% errors "
-        "are the sigmoid band's boundary-limit-shading bias "
-        "(seed-tight, bandwidth-stable — PERF.md round 5), not "
-        "variance. Earlier rounds' 2-8% numbers came from degenerate "
-        "probes (near-zero lateral derivatives) at lucky seeds. "
-        "Continuous classes verify tightly.")
+        "are the log-sigmoid boundary kernel's ln2-class "
+        "normalization bias (seed-tight, bandwidth-stable, derived "
+        "and 1D-verified — PERF.md round 5), not variance. Earlier "
+        "rounds' 2-8% numbers came from degenerate probes (near-zero "
+        "lateral derivatives) at lucky seeds. Continuous classes "
+        "verify tightly.")
     return report
 
 
