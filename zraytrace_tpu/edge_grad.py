@@ -85,6 +85,9 @@ _SCREEN = _os.environ.get("ZRAYTRACE_EDGE_SCREEN", "0") == "1"
 # per side (the log kernel's integrate to ln 2 — see the normalization
 # note in edge_factor). Measured trade-offs in PERF.md round 5.
 _KERNEL = _os.environ.get("ZRAYTRACE_EDGE_KERNEL", "log")
+# Exclude a convex sphere's own near-miss margin for rays originating
+# on its surface (see the _NOSELF note at the sphere near mask).
+_NOSELF = _os.environ.get("ZRAYTRACE_EDGE_NOSELF", "0") == "1"
 
 
 def silhouette_margin(scene: Scene, o, d, h, t_min=1e-3,
@@ -165,6 +168,17 @@ def silhouette_margin(scene: Scene, o, d, h, t_min=1e-3,
             margin_hit_sph = jnp.where(better, m_hit_s, margin_hit_sph)
             # near miss: tangency point (-half_b) in front, before t_cap
             near = (disc < 0.0) & (-half_b > t_min) & (-half_b < t_cap)
+            if _NOSELF:
+                # EXPERIMENT (round 5, env ZRAYTRACE_EDGE_NOSELF): a
+                # ray ORIGINATING ON a convex sphere can never re-hit
+                # it — its own near-miss margin has no boundary to
+                # estimate (hit/miss topology never flips), only the
+                # quadratic-tangency mass that breaks the linear
+                # kernel calibration. cc = |o-c|^2 - r^2 ~ 0 exactly
+                # for surface origins; genuinely nearby origins (other
+                # geometry next to the sphere) keep cc >> the f32
+                # tolerance.
+                near = near & (cc > 1e-4 * r * r)
             miss_margin = jnp.maximum(miss_margin,
                                       jnp.where(near, m_near_s, -jnp.inf))
             # occlusion candidate: this sphere's nearest root behind
